@@ -1,0 +1,124 @@
+"""Benchmark: filter frames/sec/chip at the EuRoC operating point.
+
+Runs the full back-end (propagation + MSCKF update + augmentation +
+composition) at the reference's real-time operating point — 200 features,
+15-frame window, 20 Hz camera / 200 Hz IMU (reference:
+config/rvio_euroc.yaml:8,27,72,75) — on a synthetic feature-level sequence,
+using the whole-sequence lax.scan path (one device dispatch).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline compares against the reference's real-time rate (20 fps — the
+camera rate it is designed to keep up with on CPU; the repo publishes no
+faster number, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvio_tpu.config import RVIOConfig
+from rvio_tpu.dataio.synthetic import simulate_sequence
+from rvio_tpu.eval.ate import ate_rmse
+from rvio_tpu.filter.propagation import make_imu_block, ImuBlock
+from rvio_tpu.filter.update import UpdateBatch
+from rvio_tpu.runtime.driver import InitializationGate, bundle_imu
+from rvio_tpu.runtime.step import FrameBundle, make_sequence_scan, make_filter_step
+from rvio_tpu.state import FilterState
+
+
+REFERENCE_FPS = 20.0  # reference real-time operating point (EuRoC camera rate)
+
+
+def build_bundles(cfg, sim, dtype):
+    """Host-side: init gate + stacked per-frame bundles from the init frame."""
+    gate = InitializationGate(cfg, dtype)
+    groups = bundle_imu(sim.imu_t, sim.imu_w, sim.imu_a, sim.frame_t)
+    state = None
+    idx0 = None
+    for k, (w, a, dts) in enumerate(groups):
+        if len(w) < 2:
+            continue
+        state = gate.feed(w, a, dts)
+        if state is not None:
+            idx0 = k
+            break
+    assert state is not None, "no motion in benchmark sequence"
+
+    K = cfg.tpu.imu_block
+    frames = range(idx0, len(sim.frame_t))
+    ws, as_, dts_, vs = [], [], [], []
+    for k in frames:
+        w, a, dts = groups[k]
+        pad = K - len(w)
+        ws.append(np.pad(w, ((0, pad), (0, 0))))
+        as_.append(np.pad(a, ((0, pad), (0, 0))))
+        dts_.append(np.pad(dts, (0, pad)))
+        vs.append(np.arange(K) < len(w))
+    imu = ImuBlock(w=jnp.asarray(np.stack(ws), dtype),
+                   a=jnp.asarray(np.stack(as_), dtype),
+                   dt=jnp.asarray(np.stack(dts_), dtype),
+                   valid=jnp.asarray(np.stack(vs)))
+    sl = slice(idx0, len(sim.frame_t))
+    batch = UpdateBatch(meas=jnp.asarray(sim.feat_meas[sl], dtype),
+                        track_len=jnp.asarray(sim.feat_len[sl], jnp.int32),
+                        is_type2=jnp.asarray(sim.feat_type2[sl]),
+                        valid=jnp.asarray(sim.feat_valid[sl]))
+    return state, FrameBundle(imu=imu, batch=batch), idx0
+
+
+def main():
+    cfg = RVIOConfig()  # EuRoC operating point
+    dtype = jnp.float32
+    duration = float(os.environ.get("BENCH_DURATION_S", "60"))
+
+    sim = simulate_sequence(cfg, duration=duration, static_time=1.5, seed=7,
+                            n_landmarks=800, meas_noise=0.001, imu_noise=True)
+    state0, bundles, idx0 = build_bundles(cfg, sim, dtype)
+    n_frames = int(bundles.imu.w.shape[0])
+
+    run = make_sequence_scan(cfg)
+
+    # warmup/compile
+    t0 = time.perf_counter()
+    st, out = run(jax.tree.map(jnp.copy, state0), bundles)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    # timed runs
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, out = run(jax.tree.map(jnp.copy, state0), bundles)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    fps = n_frames / best
+
+    # accuracy sanity on the same run
+    est_p = np.asarray(out["p_Gk"])
+    gt = sim.gt_p[idx0:]
+    ate = ate_rmse(est_p, gt)
+
+    print(json.dumps({
+        "metric": "filter_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "frames": n_frames,
+        "wall_s": round(best, 4),
+        "compile_s": round(compile_s, 1),
+        "synthetic_ate_m": round(ate, 4),
+        "device": str(jax.devices()[0]).replace(" ", "_"),
+        "config": "euroc_200feat_window15",
+    }))
+
+
+if __name__ == "__main__":
+    main()

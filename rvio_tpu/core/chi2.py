@@ -1,0 +1,24 @@
+"""Chi-square 95% gating thresholds.
+
+The reference bakes a 500-entry chi2(0.95, dof) lookup table into a header
+(reference: src/util/Numerics.h:173-224).  We generate the same table at
+import time with scipy (values agree to the reference's 6 printed decimals)
+and expose it as a device-constant array for the Mahalanobis gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.stats import chi2 as _chi2
+
+MAX_DOF = 500
+
+# chi2(0.95, dof) for dof = 1..500; index [dof-1] like the reference table.
+CHI2_095: np.ndarray = _chi2.ppf(0.95, np.arange(1, MAX_DOF + 1)).astype(np.float64)
+
+
+def chi2_gate_thresholds(max_dof: int, dtype=np.float32) -> np.ndarray:
+    """First ``max_dof`` thresholds as the requested dtype (device constant)."""
+    if max_dof > MAX_DOF:
+        raise ValueError(f"max_dof {max_dof} exceeds table size {MAX_DOF}")
+    return CHI2_095[:max_dof].astype(dtype)

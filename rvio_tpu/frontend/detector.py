@@ -1,0 +1,223 @@
+"""Shi-Tomasi corner detection with grid-based selection + subpixel refine.
+
+TPU-native equivalent of FeatureDetector (reference:
+src/rvio/FeatureDetector.cc) and the cv::goodFeaturesToTrack +
+cv::cornerSubPix pair it wraps:
+
+- min-eigenvalue response map (Sobel gradients, 3x3 block sum);
+- quality threshold = nQualLvl * max response (goodFeaturesToTrack rule);
+- min-distance enforcement recast as per-cell argmax over a minDist grid
+  plus suppression by stronger neighbors — the sequential greedy loop
+  becomes one parallel pass (the reference's chess-grid FindNewer,
+  FeatureDetector.cc:78-150, is already block-structured: a natural tiling);
+- batched iterative cornerSubPix refinement (FeatureDetector.cc:66-71);
+- FindNewer admission: block occupancy < 75% of the per-block budget,
+  min-distance from existing corners and from block borders.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvio_tpu.frontend.image import sobel_gradients, bilinear_sample, _conv2
+
+
+def shi_tomasi_response(img: jnp.ndarray, block: int = 3) -> jnp.ndarray:
+    """Min-eigenvalue corner response (cv::cornerMinEigenVal semantics)."""
+    ix, iy = sobel_gradients(img)
+    k = np.ones((block, block), np.float32)
+    sxx = _conv2(ix * ix, k)
+    sxy = _conv2(ix * iy, k)
+    syy = _conv2(iy * iy, k)
+    tr = sxx + syy
+    det = sxx * syy - sxy * sxy
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))
+    return (tr - disc) * 0.5
+
+
+def grid_top_corners(resp: jnp.ndarray, cell: int, max_corners: int,
+                     quality_level: float, border: int = 4
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spaced corner selection: per-cell argmax + stronger-neighbor NMS.
+
+    Partitions the response map into (cell x cell) tiles; keeps each tile's
+    peak if it (a) clears the quality threshold, (b) beats every peak within
+    ``cell`` pixels in the 8 neighboring tiles (strict tie-break by index),
+    guaranteeing >= cell*(something) spacing like goodFeaturesToTrack's
+    minDistance loop but fully parallel.  Returns (pts (K,2) float32 xy,
+    valid (K,)) with K = number of cells, sorted by response (strongest
+    first) and truncated/padded to ``max_corners``.
+    """
+    H, W = resp.shape
+    # 3x3 local NMS first (goodFeaturesToTrack dilate step)
+    neigh = -jnp.ones_like(resp) * jnp.inf
+    m = resp
+    mpad = jnp.pad(m, 1, constant_values=-jnp.inf)
+    local_max = jnp.ones_like(m, bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            local_max &= m >= mpad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+    thr = quality_level * jnp.max(m)
+    cand = jnp.where(local_max & (m > thr), m, -jnp.inf)
+    # suppress the image border
+    row = jnp.arange(H)[:, None]
+    col = jnp.arange(W)[None, :]
+    inb = ((row >= border) & (row < H - border)
+           & (col >= border) & (col < W - border))
+    cand = jnp.where(inb, cand, -jnp.inf)
+
+    gh = H // cell
+    gw = W // cell
+    crop = cand[:gh * cell, :gw * cell]
+    tiles = crop.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(gh * gw, cell * cell)
+    best = jnp.argmax(tiles, axis=1)
+    best_val = jnp.take_along_axis(tiles, best[:, None], axis=1)[:, 0]
+    by = best // cell + (jnp.arange(gh * gw) // gw) * cell
+    bx = best % cell + (jnp.arange(gh * gw) % gw) * cell
+    pts = jnp.stack([bx, by], axis=-1).astype(resp.dtype)
+
+    # suppression by stronger peaks within `cell` px in neighboring tiles
+    gy = jnp.arange(gh * gw) // gw
+    gx = jnp.arange(gh * gw) % gw
+    keep = best_val > -jnp.inf
+    val_grid = best_val.reshape(gh, gw)
+    y_grid = by.reshape(gh, gw)
+    x_grid = bx.reshape(gh, gw)
+    vpad = jnp.pad(val_grid, 1, constant_values=-jnp.inf)
+    ypad = jnp.pad(y_grid, 1)
+    xpad = jnp.pad(x_grid, 1)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nv = vpad[1 + dy:1 + dy + gh, 1 + dx:1 + dx + gw]
+            ny = ypad[1 + dy:1 + dy + gh, 1 + dx:1 + dx + gw]
+            nx = xpad[1 + dy:1 + dy + gh, 1 + dx:1 + dx + gw]
+            d2 = ((y_grid - ny) ** 2 + (x_grid - nx) ** 2).astype(resp.dtype)
+            stronger = (nv > val_grid) | ((nv == val_grid)
+                                          & ((ny * W + nx) < (y_grid * W + x_grid)))
+            conflict = (d2 < cell * cell) & stronger & (nv > -jnp.inf)
+            keep &= ~conflict.reshape(-1)
+
+    score = jnp.where(keep, best_val, -jnp.inf)
+    order = jnp.argsort(-score)
+    k = min(max_corners, pts.shape[0])
+    sel = order[:k]
+    return pts[sel], score[sel] > -jnp.inf
+
+
+def corner_subpix(img: jnp.ndarray, pts: jnp.ndarray, win: int = 7,
+                  iters: int = 10) -> jnp.ndarray:
+    """Batched cv::cornerSubPix: gradient-product centroid iteration.
+
+    win: half-window (reference uses floor(minDist/2)=7 -> 15x15 window,
+    FeatureDetector.cc:68).
+    """
+    size = 2 * win + 1
+    off = jnp.arange(-win, win + 1, dtype=img.dtype)
+    oy, ox = jnp.meshgrid(off, off, indexing="ij")
+    # Gaussian-ish weight mask (OpenCV uses an exponential taper)
+    wmask = jnp.exp(-(ox ** 2 + oy ** 2) / (2.0 * (win / 2.0) ** 2))
+
+    def refine(c):
+        def body(c, _):
+            coords = c[None, None, :] + jnp.stack([ox, oy], -1)
+            # gradients via central differences of bilinear samples
+            ex = jnp.stack([ox + 1.0, oy], -1) + c[None, None, :]
+            wx = jnp.stack([ox - 1.0, oy], -1) + c[None, None, :]
+            ey = jnp.stack([ox, oy + 1.0], -1) + c[None, None, :]
+            wy = jnp.stack([ox, oy - 1.0], -1) + c[None, None, :]
+            gx = (bilinear_sample(img, ex) - bilinear_sample(img, wx)) * 0.5
+            gy = (bilinear_sample(img, ey) - bilinear_sample(img, wy)) * 0.5
+            gxx = jnp.sum(wmask * gx * gx)
+            gxy = jnp.sum(wmask * gx * gy)
+            gyy = jnp.sum(wmask * gy * gy)
+            bx = jnp.sum(wmask * (gx * gx * ox + gx * gy * oy))
+            by = jnp.sum(wmask * (gx * gy * ox + gy * gy * oy))
+            det = gxx * gyy - gxy * gxy
+            safe = jnp.abs(det) > 1e-12
+            dets = jnp.where(safe, det, 1.0)
+            dx = jnp.where(safe, (gyy * bx - gxy * by) / dets, 0.0)
+            dy = jnp.where(safe, (-gxy * bx + gxx * by) / dets, 0.0)
+            step = jnp.stack([dx, dy])
+            step = jnp.clip(step, -1.0, 1.0)
+            return c + step, None
+
+        out, _ = jax.lax.scan(body, c, None, length=iters)
+        return out
+
+    return jax.vmap(refine)(pts)
+
+
+def find_newer(cand_pts: jnp.ndarray, cand_valid: jnp.ndarray,
+               ref_pts: jnp.ndarray, ref_valid: jnp.ndarray, *,
+               img_w: int, img_h: int, block_w: int, block_h: int,
+               min_dist: float, max_feats: int) -> jnp.ndarray:
+    """Admission mask for new corners (reference FindNewer semantics).
+
+    cand_pts: (C,2) detected candidates; ref_pts: (N,2) currently tracked.
+    A candidate is admitted iff its chess-grid block is < 75% full, it is
+    >= min_dist from every tracked corner in that block, and >= min_dist
+    from the block borders (FeatureDetector.cc:97-150).  Candidate-to-
+    candidate spacing is pre-enforced by detection at 2x min distance
+    (Tracker.cc:350 passes s=2).
+    """
+    gw = img_w // block_w
+    gh = img_h // block_h
+    offx = 0.5 * (img_w - gw * block_w)
+    offy = 0.5 * (img_h - gh * block_h)
+    max_per_block = max_feats / (gw * gh)
+
+    def block_of(pts):
+        bx = jnp.floor((pts[:, 0] - offx) / block_w).astype(jnp.int32)
+        by = jnp.floor((pts[:, 1] - offy) / block_h).astype(jnp.int32)
+        inside = ((pts[:, 0] > offx) & (pts[:, 1] > offy)
+                  & (pts[:, 0] < img_w - offx) & (pts[:, 1] < img_h - offy)
+                  & (bx >= 0) & (bx < gw) & (by >= 0) & (by < gh))
+        return by * gw + bx, inside
+
+    cb, c_in = block_of(cand_pts)
+    rb, r_in = block_of(ref_pts)
+    rb = jnp.where(ref_valid & r_in, rb, -1)
+
+    # occupancy per block from tracked features
+    n_blocks = gw * gh
+    occ = jnp.sum(jax.nn.one_hot(jnp.clip(rb, 0, n_blocks - 1), n_blocks,
+                                 dtype=jnp.float32)
+                  * (rb >= 0)[:, None].astype(jnp.float32), axis=0)
+
+    # distance of each candidate to every tracked corner in the same block
+    d2 = jnp.sum((cand_pts[:, None, :] - ref_pts[None, :, :]) ** 2, axis=-1)
+    same_block = (cb[:, None] == rb[None, :]) & (rb >= 0)[None, :]
+    too_close = jnp.any(same_block & (d2 <= min_dist ** 2), axis=1)
+
+    # distance from block borders
+    bxf = jnp.floor((cand_pts[:, 0] - offx) / block_w)
+    byf = jnp.floor((cand_pts[:, 1] - offy) / block_h)
+    xl = bxf * block_w + offx
+    yt = byf * block_h + offy
+    near_border = ((jnp.abs(cand_pts[:, 0] - xl) < min_dist)
+                   | (jnp.abs(cand_pts[:, 0] - (xl + block_w)) < min_dist)
+                   | (jnp.abs(cand_pts[:, 1] - yt) < min_dist)
+                   | (jnp.abs(cand_pts[:, 1] - (yt + block_h)) < min_dist))
+
+    # within-frame capacity: rank candidates per block; admit while the
+    # block stays under 75% of its budget (incremental count, parallelized
+    # as occupancy + rank < cap)
+    cand_ok = cand_valid & c_in & ~too_close & ~near_border
+    cb_safe = jnp.clip(cb, 0, n_blocks - 1)
+    onehot = jax.nn.one_hot(cb_safe, n_blocks, dtype=jnp.float32) \
+        * cand_ok[:, None].astype(jnp.float32)
+    rank = jnp.cumsum(onehot, axis=0) - onehot       # prior admits per block
+    my_rank = jnp.take_along_axis(rank, cb_safe[:, None], axis=1)[:, 0]
+    my_occ = occ[cb_safe]
+    under_cap = (my_occ + my_rank) < 0.75 * max_per_block
+    return cand_ok & under_cap

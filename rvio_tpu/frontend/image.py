@@ -1,0 +1,144 @@
+"""Image preprocessing: CLAHE, Gaussian pyramid, gradients — pure XLA.
+
+Equivalents of the reference's OpenCV preprocessing
+(reference: src/rvio/Tracker.cc:183-202 — cvtColor + CLAHE(3.0, 5x5);
+cv::calcOpticalFlowPyrLK's internal pyramid).  Everything is expressed as
+convolutions/reductions so XLA maps it onto the VPU/MXU; shapes are static
+per camera config.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# cv::pyrDown kernel: [1,4,6,4,1]/16 outer product.
+_PYR_K = np.outer([1, 4, 6, 4, 1], [1, 4, 6, 4, 1]).astype(np.float32) / 256.0
+# Scharr 3x3 (the derivative filter OpenCV's LK uses), scaled by 1/32.
+_SCHARR_X = np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]],
+                     np.float32) / 32.0
+_SCHARR_Y = _SCHARR_X.T.copy()
+# Sobel 3x3 (cornerMinEigenVal default), scale 1/8 gives unit-gradient norm.
+_SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32) / 8.0
+_SOBEL_Y = _SOBEL_X.T.copy()
+
+
+def _conv2(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Same-size 2D convolution with reflect padding (OpenCV border default)."""
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    x = jnp.pad(img, ((ph, ph), (pw, pw)), mode="reflect")
+    x = x[None, None]
+    k = jnp.asarray(kernel, img.dtype)[None, None]
+    y = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID")
+    return y[0, 0]
+
+
+def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+    """cv::pyrDown: 5x5 Gaussian blur then decimate by 2 (ceil sizing)."""
+    blurred = _conv2(img, _PYR_K)
+    return blurred[::2, ::2]
+
+
+def build_pyramid(img: jnp.ndarray, levels: int):
+    """List of images, level 0 = input, each subsequent halved."""
+    pyr = [img]
+    for _ in range(levels):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def scharr_gradients(img: jnp.ndarray):
+    """(Ix, Iy) with the LK derivative filter."""
+    return _conv2(img, _SCHARR_X), _conv2(img, _SCHARR_Y)
+
+
+def sobel_gradients(img: jnp.ndarray):
+    return _conv2(img, _SOBEL_X), _conv2(img, _SOBEL_Y)
+
+
+def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 5,
+          n_bins: int = 256) -> jnp.ndarray:
+    """Contrast-limited adaptive histogram equalization (CLAHE).
+
+    Matches cv::createCLAHE(3.0, Size(5,5)) semantics
+    (reference: Tracker.cc:198-202): per-tile clipped histograms, uniform
+    redistribution of the clipped mass, CDF LUTs, bilinear interpolation
+    between the four surrounding tile mappings.  Input in [0, 255] float;
+    output same range.
+    """
+    H, W = img.shape
+    th = -(-H // grid)          # ceil tile size (OpenCV extends the border)
+    tw = -(-W // grid)
+    Hp, Wp = th * grid, tw * grid
+    x = jnp.pad(img, ((0, Hp - H), (0, Wp - W)), mode="reflect")
+
+    tiles = x.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(grid * grid, th * tw)
+
+    bins = jnp.clip(tiles.astype(jnp.int32), 0, n_bins - 1)
+    one_hot = jax.nn.one_hot(bins, n_bins, dtype=img.dtype)
+    hist = one_hot.sum(axis=1)                          # (T, 256)
+
+    tile_area = th * tw
+    limit = jnp.maximum(clip_limit * tile_area / n_bins, 1.0)
+    clipped = jnp.minimum(hist, limit)
+    excess = (hist - clipped).sum(axis=1, keepdims=True)
+    clipped = clipped + excess / n_bins                 # uniform redistribute
+
+    cdf = jnp.cumsum(clipped, axis=1)
+    scale = (n_bins - 1.0) / tile_area
+    luts = cdf * scale                                  # (T, 256) mappings
+
+    # Bilinear interpolation between tile LUTs at every pixel.
+    yy = jnp.arange(Hp, dtype=img.dtype)
+    xx = jnp.arange(Wp, dtype=img.dtype)
+    ty = (yy - (th - 1) / 2.0) / th                     # tile coordinate
+    tx = (xx - (tw - 1) / 2.0) / tw
+    ty0 = jnp.clip(jnp.floor(ty), 0, grid - 1).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor(tx), 0, grid - 1).astype(jnp.int32)
+    ty1 = jnp.clip(ty0 + 1, 0, grid - 1)
+    tx1 = jnp.clip(tx0 + 1, 0, grid - 1)
+    fy = jnp.clip(ty - ty0, 0.0, 1.0)[:, None]
+    fx = jnp.clip(tx - tx0, 0.0, 1.0)[None, :]
+
+    pix = jnp.clip(x.astype(jnp.int32), 0, n_bins - 1)
+    luts_g = luts.reshape(grid, grid, n_bins)
+
+    def lut_at(tyi, txi):
+        tyg = jnp.broadcast_to(tyi[:, None], (Hp, Wp))
+        txg = jnp.broadcast_to(txi[None, :], (Hp, Wp))
+        return luts_g[tyg, txg, pix]                    # one gather, (Hp, Wp)
+
+    v00 = lut_at(ty0, tx0)
+    v01 = lut_at(ty0, tx1)
+    v10 = lut_at(ty1, tx0)
+    v11 = lut_at(ty1, tx1)
+    out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+           + fy * ((1 - fx) * v10 + fx * v11))
+    return out[:H, :W]
+
+
+def bilinear_sample(img: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear interpolation at fractional (x, y) points.
+
+    pts: (..., 2) in (x, y) pixel coords; out-of-bounds clamped to border.
+    """
+    H, W = img.shape
+    x = jnp.clip(pts[..., 0], 0.0, W - 1.000001)
+    y = jnp.clip(pts[..., 1], 0.0, H - 1.000001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = (x - x0).astype(img.dtype)
+    fy = (y - y0).astype(img.dtype)
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))

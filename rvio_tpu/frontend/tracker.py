@@ -1,0 +1,203 @@
+"""On-device feature lifecycle: the front-end driver.
+
+TPU-native re-design of Tracker (reference: src/rvio/Tracker.cc:179-396).
+The reference keeps a list-of-lists tracking history with reusable index
+slots (Tracker.h:104-114); here every structure is a fixed-shape array over
+N feature slots, and the whole per-frame front-end — KLT, undistortion,
+gyro-RANSAC, lifecycle classification, update-batch assembly, detection
+refill — is one jitted program with no host round-trips.
+
+Lifecycle rules preserved (Tracker.cc:271-396):
+- lost track with history >= nMinTrackingLength  -> type '1' update feature;
+- reaching nMaxTrackingLength                    -> type '2' update feature,
+  history truncated to the last ceil(L/2) entries (半-window rule) if it got
+  into the update budget, else popped by one;
+- update batch capped at ceil(N/2), lost features first;
+- freed slots refilled from spaced Shi-Tomasi detections admitted by the
+  chess-grid occupancy test.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rvio_tpu.config import RVIOConfig
+from rvio_tpu.filter.update import UpdateBatch
+from rvio_tpu.frontend.detector import (corner_subpix, find_newer,
+                                        grid_top_corners, shi_tomasi_response)
+from rvio_tpu.frontend.image import build_pyramid, clahe
+from rvio_tpu.frontend.klt import klt_track
+from rvio_tpu.frontend.ransac import gyro_ransac, integrate_gyro_rotation
+from rvio_tpu.frontend.undistort import undistort_normalize
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TrackerState:
+    """Fixed-shape tracker state carried between frames."""
+
+    pos: jnp.ndarray        # (N, 2) current distorted pixel positions
+    hist: jnp.ndarray       # (N, L, 2) undistorted-normalized history
+    length: jnp.ndarray     # (N,) int32 measurements in history
+    active: jnp.ndarray     # (N,) bool slot in use
+    pyramid: tuple          # previous frame's pyramid (tuple of arrays)
+
+
+def _cam_kwargs(cfg: RVIOConfig):
+    c = cfg.camera
+    return dict(fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, k1=c.k1, k2=c.k2,
+                p1=c.p1, p2=c.p2, k3=c.k3, fisheye=c.is_fisheye)
+
+
+def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
+    """Build (init_fn, track_fn) jitted front-end entry points.
+
+    init_fn(image) -> TrackerState                       (first frame)
+    track_fn(state, image, imu_w, imu_dt, imu_valid, key)
+        -> (TrackerState, UpdateBatch, debug dict)
+    """
+    N = cfg.tracker.num_features
+    L = cfg.tracker.max_tracking_length
+    Lmin = cfg.tracker.min_tracking_length
+    F = cfg.tracker.max_update_features
+    keep_after_t2 = L - (math.ceil(0.5 * L) - 1)
+    min_dist = cfg.tracker.min_distance
+    cell = max(4, int(min_dist))
+    cell2 = max(4, int(2 * min_dist))
+    cam = _cam_kwargs(cfg)
+    R_bc = jnp.asarray(cfg.camera.R_bc, dtype)
+    levels = cfg.tracker.klt_levels
+    BIG = jnp.int32(1 << 30)
+
+    def preprocess(image):
+        img = image.astype(dtype)
+        if cfg.tracker.enable_equalizer:
+            img = clahe(img, 3.0, 5)
+        return tuple(build_pyramid(img, levels))
+
+    def detect(img, spacing):
+        resp = shi_tomasi_response(img)
+        pts, valid = grid_top_corners(resp, spacing, N,
+                                      cfg.tracker.quality_level)
+        pts = corner_subpix(img, pts, win=int(min_dist) // 2)
+        return pts, valid
+
+    @jax.jit
+    def init_fn(image) -> Tuple[TrackerState, jnp.ndarray]:
+        pyr = preprocess(image)
+        pts, valid = detect(pyr[0], cell)
+        k = min(N, pts.shape[0])
+        pos = jnp.zeros((N, 2), dtype).at[:k].set(pts[:k])
+        active = jnp.zeros(N, bool).at[:k].set(valid[:k])
+        zn = undistort_normalize(pos, **cam).astype(dtype)
+        hist = jnp.zeros((N, L, 2), dtype)
+        hist = hist.at[:, 0, :].set(jnp.where(active[:, None], zn, 0.0))
+        length = jnp.where(active, 1, 0).astype(jnp.int32)
+        return TrackerState(pos=pos, hist=hist, length=length, active=active,
+                            pyramid=pyr), jnp.sum(active.astype(jnp.int32))
+
+    @jax.jit
+    def track_fn(ts: TrackerState, image, imu_w, imu_dt, imu_valid, key):
+        pyr = preprocess(image)
+
+        # --- KLT (Tracker.cc:237-244) ---
+        new_pos, status, err = klt_track(
+            list(ts.pyramid), list(pyr), ts.pos, ts.active,
+            win=cfg.tracker.klt_window, max_iters=cfg.tracker.klt_max_iters,
+            eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig)
+
+        zn = undistort_normalize(new_pos, **cam).astype(dtype)
+
+        # --- gyro-aided RANSAC (Tracker.cc:264) ---
+        prev_idx = jnp.clip(ts.length - 1, 0, L - 1)
+        prev_zn = jnp.take_along_axis(ts.hist, prev_idx[:, None, None],
+                                      axis=1)[:, 0, :]
+        ones = jnp.ones((N, 1), dtype)
+        p1h = jnp.concatenate([prev_zn, ones], axis=1)
+        p2h = jnp.concatenate([zn, ones], axis=1)
+        R_cam = integrate_gyro_rotation(imu_w.astype(dtype),
+                                        imu_dt.astype(dtype), imu_valid,
+                                        R_bc, cfg.imu.small_angle)
+        inlier = gyro_ransac(key, p1h, p2h, status & ts.active, R_cam,
+                             cfg.tracker.inlier_threshold,
+                             n_hypotheses=cfg.tracker.ransac_iterations,
+                             use_sampson=cfg.tracker.use_sampson)
+
+        tracked = ts.active & inlier
+        lost = ts.active & ~inlier
+
+        # --- update batch assembly (Tracker.cc:271-342) ---
+        slot = jnp.arange(N, dtype=jnp.int32)
+        type1 = lost & (ts.length >= Lmin)
+        at_max = tracked & (ts.length == L)
+        order_key = jnp.where(type1, slot,
+                              jnp.where(at_max, N + slot, BIG))
+        order = jnp.argsort(order_key)
+        sel = order[:F]
+        sel_key = order_key[sel]
+        sel_valid = sel_key < BIG
+        batch = UpdateBatch(
+            meas=jnp.where(sel_valid[:, None, None], ts.hist[sel], 0.0),
+            track_len=jnp.where(sel_valid, ts.length[sel], 0).astype(jnp.int32),
+            is_type2=sel_valid & (sel_key >= N),
+            valid=sel_valid)
+        # scatter back: which at_max slots made the budget
+        in_budget = jnp.zeros(N, bool).at[sel].set(sel_valid)
+
+        # --- history update (Tracker.cc:305-342) ---
+        # per-slot front-shift: type-2 in budget -> drop to keep_after_t2
+        # entries; type-2 over budget -> drop 1; others -> 0.
+        shift = jnp.where(at_max & in_budget, L - keep_after_t2,
+                          jnp.where(at_max, 1, 0)).astype(jnp.int32)
+        gather_idx = jnp.clip(jnp.arange(L)[None, :] + shift[:, None], 0, L - 1)
+        hist = jnp.take_along_axis(ts.hist, gather_idx[:, :, None], axis=1)
+        new_len = ts.length - shift
+        # append the new measurement for tracked slots
+        app_idx = jnp.clip(new_len, 0, L - 1)
+        hist = hist.at[slot, app_idx].set(
+            jnp.where(tracked[:, None], zn, hist[slot, app_idx]))
+        new_len = jnp.where(tracked, new_len + 1, 0).astype(jnp.int32)
+        active = tracked
+        pos = jnp.where(tracked[:, None], new_pos, 0.0)
+
+        # --- refill (Tracker.cc:344-387) ---
+        cand_pts, cand_valid = detect(pyr[0], cell2)
+        admit = find_newer(cand_pts, cand_valid, pos, active,
+                           img_w=cfg.camera.width, img_h=cfg.camera.height,
+                           block_w=cfg.tracker.block_size_x,
+                           block_h=cfg.tracker.block_size_y,
+                           min_dist=min_dist, max_feats=N)
+        C = cand_pts.shape[0]
+        free = ~active
+        free_order = jnp.argsort(jnp.where(free, slot, BIG))
+        cand_order = jnp.argsort(
+            jnp.where(admit, jnp.arange(C, dtype=jnp.int32), jnp.int32(C + 1)))
+        n_free = jnp.sum(free.astype(jnp.int32))
+        n_admit = jnp.sum(admit.astype(jnp.int32))
+        K = min(N, C)
+        r = jnp.arange(K)
+        fill = (r < n_free) & (r < n_admit)
+        dst = free_order[:K]
+        src = cand_order[:K]
+        new_pts = cand_pts[src]
+        new_zn = undistort_normalize(new_pts, **cam).astype(dtype)
+        pos = pos.at[dst].set(jnp.where(fill[:, None], new_pts, pos[dst]))
+        active = active.at[dst].set(jnp.where(fill, True, active[dst]))
+        hist = hist.at[dst, 0].set(jnp.where(fill[:, None], new_zn,
+                                             hist[dst, 0]))
+        new_len = new_len.at[dst].set(jnp.where(fill, 1, new_len[dst]))
+
+        debug = {"n_tracked": jnp.sum(tracked.astype(jnp.int32)),
+                 "n_lost": jnp.sum(lost.astype(jnp.int32)),
+                 "n_new": jnp.minimum(n_free, n_admit),
+                 "klt_err": err}
+        return (TrackerState(pos=pos, hist=hist, length=new_len,
+                             active=active, pyramid=pyr), batch, debug)
+
+    return init_fn, track_fn

@@ -1,0 +1,9 @@
+"""Scaling layer: device meshes, segment data-parallelism, feature sharding."""
+
+from rvio_tpu.parallel.mesh import make_mesh
+from rvio_tpu.parallel.segment import (make_parallel_step, shard_bundles,
+                                       shard_states, replicate_scalars)
+from rvio_tpu.parallel.stitch import stitch_segments
+
+__all__ = ["make_mesh", "make_parallel_step", "shard_bundles", "shard_states",
+           "replicate_scalars", "stitch_segments"]

@@ -1,0 +1,175 @@
+"""Sequence driver: sensor bundling, init gate, and offline execution.
+
+Replaces the reference's ROS shell (rvio_mono.cc + InputBuffer): pairs each
+image with all IMU samples up to the image time (+ configurable offset,
+needing >= 2 samples — reference: InputBuffer.cc:53-81, per-sample dt from
+consecutive timestamps with dt=0 for the first sample, rvio_mono.cc:99-107),
+runs the static-init motion gate (System.cc:182-249), then drives the jitted
+per-frame step and records TUM poses + per-stage timing, matching the
+reference's instrumentation (System.cc:369-380).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvio_tpu.config import RVIOConfig
+from rvio_tpu.filter.propagation import make_imu_block
+from rvio_tpu.filter.update import UpdateBatch
+from rvio_tpu.runtime.step import FrameBundle, make_filter_step
+from rvio_tpu.state import FilterState, static_initialize
+
+
+class InitializationGate:
+    """Static-window motion detector + bias initializer.
+
+    Host-side replica of the reference's init state machine
+    (System.cc:182-249): accumulate the static-window gyro/accel averages;
+    on the first frame whose integrated angle/displacement exceeds the
+    thresholds, build the initial filter state.
+    """
+
+    def __init__(self, cfg: RVIOConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.w_sum = np.zeros(3)
+        self.a_sum = np.zeros(3)
+        self.n_imu = 0
+        self.moving = False
+
+    def feed(self, w: np.ndarray, a: np.ndarray, dts: np.ndarray
+             ) -> Optional[FilterState]:
+        """Feed one frame's IMU; returns the initial state once moving."""
+        cfg = self.cfg
+        if not self.moving:
+            ang = np.zeros(3)
+            vel = np.zeros(3)
+            displ = np.zeros(3)
+            for wi, ai, dt in zip(w, a, dts):
+                a_c = ai - cfg.imu.gravity * ai / max(np.linalg.norm(ai), 1e-12)
+                ang = ang + dt * wi
+                vel = vel + dt * a_c
+                displ = displ + dt * vel + 0.5 * dt ** 2 * a_c
+            if (np.linalg.norm(ang) > cfg.init.threshold_angle
+                    or np.linalg.norm(displ) > cfg.init.threshold_displ):
+                self.moving = True
+
+        if not self.moving:
+            self.w_sum += w.sum(axis=0)
+            self.a_sum += a.sum(axis=0)
+            self.n_imu += len(w)
+            return None
+
+        if self.n_imu == 0:
+            w_avg, a_avg, n = w[0], a[0], 1
+        else:
+            w_avg = self.w_sum / self.n_imu
+            a_avg = self.a_sum / self.n_imu
+            n = self.n_imu
+        return static_initialize(
+            jnp.asarray(w_avg, self.dtype), jnp.asarray(a_avg, self.dtype), n,
+            gravity=cfg.imu.gravity, imu_rate=cfg.imu.rate_hz,
+            sigma_a=cfg.imu.sigma_a, sigma_wg=cfg.imu.sigma_wg,
+            sigma_wa=cfg.imu.sigma_wa,
+            enable_alignment=cfg.init.enable_alignment,
+            max_clones=cfg.window_size, use_bias_estimates=n > 1)
+
+
+def bundle_imu(imu_t: np.ndarray, imu_w: np.ndarray, imu_a: np.ndarray,
+               frame_t: np.ndarray, *, time_offset: float = 0.0
+               ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Split the IMU stream into per-frame groups (InputBuffer semantics).
+
+    Each frame gets all IMU samples with t <= t_frame + offset that were not
+    consumed by an earlier frame; per-sample dt comes from consecutive
+    timestamps (first overall sample gets dt 0, rvio_mono.cc:102-107).
+    Frames with < 2 samples yield empty groups (skipped upstream).
+    """
+    dts = np.diff(imu_t, prepend=imu_t[0])
+    out = []
+    start = 0
+    for tf in frame_t:
+        end = int(np.searchsorted(imu_t, tf + time_offset, side="right"))
+        if end - start < 2:
+            out.append((np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0)))
+            # do not consume: the reference waits for >=2 samples
+            continue
+        out.append((imu_w[start:end], imu_a[start:end], dts[start:end]))
+        start = end
+    return out
+
+
+@dataclass
+class DriverResult:
+    timestamps: np.ndarray     # (T,)
+    positions: np.ndarray      # (T,3) p_Gk
+    quaternions: np.ndarray    # (T,4) q_kG (JPL xyzw)
+    velocities: np.ndarray     # (T,3)
+    n_good: np.ndarray         # (T,)
+    frontend_ms: np.ndarray    # (T,) per-frame front-end wall time
+    backend_ms: np.ndarray     # (T,) per-frame back-end wall time
+
+
+class SequenceDriver:
+    """Offline sequence executor over pre-bundled frames."""
+
+    def __init__(self, cfg: RVIOConfig, dtype=None):
+        self.cfg = cfg
+        self.dtype = dtype or jnp.float32
+        self.step = make_filter_step(cfg, donate=cfg.tpu.donate_state)
+
+    def run(self, imu_t, imu_w, imu_a, frame_t, batches,
+            progress: bool = False) -> DriverResult:
+        """Run a full sequence.
+
+        batches: per-frame UpdateBatch pytrees (host arrays fine).
+        """
+        cfg = self.cfg
+        gate = InitializationGate(cfg, self.dtype)
+        groups = bundle_imu(imu_t, imu_w, imu_a, frame_t,
+                            time_offset=cfg.camera.time_offset)
+        state = None
+        rows = []
+        for k, (tf, (w, a, dts)) in enumerate(zip(frame_t, groups)):
+            if len(w) < 2:
+                continue
+            if state is None:
+                state = gate.feed(w, a, dts)
+                if state is None:
+                    continue
+            t0 = time.perf_counter()
+            imu = make_imu_block(w, a, dts, cfg.tpu.imu_block, self.dtype)
+            b = batches[k]
+            batch = UpdateBatch(
+                meas=jnp.asarray(b.meas, self.dtype),
+                track_len=jnp.asarray(b.track_len, jnp.int32),
+                is_type2=jnp.asarray(b.is_type2, bool),
+                valid=jnp.asarray(b.valid, bool))
+            t1 = time.perf_counter()
+            state, out = self.step(state, FrameBundle(imu=imu, batch=batch))
+            p = np.asarray(out["p_Gk"])
+            q = np.asarray(out["q_kG"])
+            t2 = time.perf_counter()
+            rows.append((tf, p, q, np.asarray(out["v_k"]),
+                         int(out["n_good"]), (t1 - t0) * 1e3, (t2 - t1) * 1e3))
+            if progress and k % 100 == 0:
+                print(f"frame {k}/{len(frame_t)} p={p}")
+        if not rows:
+            raise RuntimeError("sequence never initialized (no motion?)")
+        ts, ps, qs, vs, ng, fe, be = zip(*rows)
+        return DriverResult(np.asarray(ts), np.asarray(ps), np.asarray(qs),
+                            np.asarray(vs), np.asarray(ng), np.asarray(fe),
+                            np.asarray(be))
+
+
+def batches_from_sim(sim) -> List[UpdateBatch]:
+    """Per-frame UpdateBatch list from a SyntheticSequence."""
+    return [UpdateBatch(meas=sim.feat_meas[k], track_len=sim.feat_len[k],
+                        is_type2=sim.feat_type2[k], valid=sim.feat_valid[k])
+            for k in range(len(sim.frame_t))]

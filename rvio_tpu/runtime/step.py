@@ -1,0 +1,98 @@
+"""The per-frame filter step: one jitted program for the whole back-end.
+
+Chains propagation -> MSCKF update -> clone augmentation -> robocentric
+composition, mirroring the order of System::MonoVIO
+(reference: src/rvio/System.cc:173-437, steps at :263, :268, :280, :325).
+The visual front-end produces the UpdateBatch either on-device (tracker) or
+host-side (simulator / replay); the step itself is front-end agnostic.
+
+Everything is static-shape; the returned step function is jit-compiled once
+per (config, dtype) and donates the state buffers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rvio_tpu.config import RVIOConfig
+from rvio_tpu.filter.propagation import ImuBlock, propagate
+from rvio_tpu.filter.update import UpdateBatch, msckf_update
+from rvio_tpu.state import FilterState, augment_window, compose_state
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FrameBundle:
+    """One frame's inputs to the back-end: IMU block + update features."""
+
+    imu: ImuBlock
+    batch: UpdateBatch
+
+
+def make_filter_step(cfg: RVIOConfig, donate: bool = True):
+    """Build the jitted per-frame step for a fixed configuration.
+
+    Returns ``step(state, bundle) -> (state, outputs)`` where outputs hold
+    the per-frame global pose (q_kG, p_Gk), velocity, and update
+    diagnostics — the same quantities the reference records/publishes
+    (System.cc:369-434).
+    """
+    imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
+                  sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
+                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa)
+    upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
+                  sigma_im=cfg.camera.sigma_image,
+                  min_clone_states=cfg.min_clone_states,
+                  compression=cfg.tpu.compression)
+
+    def step(state: FilterState, bundle: FrameBundle
+             ) -> Tuple[FilterState, dict]:
+        st = propagate(state, bundle.imu, **imu_kw)
+        st, diag = msckf_update(st, bundle.batch, **upd_kw)
+        st = augment_window(st)
+        st, (q_kG, p_Gk, vk) = compose_state(st)
+        outputs = {
+            "q_kG": q_kG, "p_Gk": p_Gk, "v_k": vk,
+            "n_good": diag["n_good"], "did_update": diag["did_update"],
+            "landmarks": diag["landmarks"], "landmark_ok": diag["passed"],
+        }
+        return st, outputs
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_sequence_scan(cfg: RVIOConfig):
+    """Build a jitted whole-sequence scan: states/outputs for T frames.
+
+    ``run(state, bundles) -> (final_state, outputs_stacked)`` with bundles
+    stacked along a leading time axis.  This is the high-throughput offline
+    path: one device dispatch for the entire sequence (no per-frame host
+    round-trips), used by the benchmark and the segment-parallel layer.
+    """
+    imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
+                  sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
+                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa)
+    upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
+                  sigma_im=cfg.camera.sigma_image,
+                  min_clone_states=cfg.min_clone_states,
+                  compression=cfg.tpu.compression)
+
+    def body(state, bundle):
+        st = propagate(state, bundle.imu, **imu_kw)
+        st, diag = msckf_update(st, bundle.batch, **upd_kw)
+        st = augment_window(st)
+        st, (q_kG, p_Gk, vk) = compose_state(st)
+        out = {"q_kG": q_kG, "p_Gk": p_Gk, "v_k": vk, "n_good": diag["n_good"]}
+        return st, out
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state: FilterState, bundles: FrameBundle):
+        return jax.lax.scan(body, state, bundles)
+
+    return run
