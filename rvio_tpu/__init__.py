@@ -26,6 +26,15 @@ the window growth phase), mirroring the reference's steady-state dimensions
 (reference: src/rvio/System.cc:71-72 — window = nMaxTrackingLength-1).
 """
 
+import jax as _jax
+
+# The filter's covariance algebra is precision-critical and tiny; TPU's
+# single-pass bf16 matmul default silently diverges it.  Force full-f32
+# matmuls unless the user already chose a precision.  Image-pipeline convs
+# opt back into fast bf16 passes locally where it is safe.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from rvio_tpu.config import RVIOConfig, load_config
 
 __all__ = ["RVIOConfig", "load_config"]

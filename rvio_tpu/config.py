@@ -125,6 +125,11 @@ class InitConfig:
     threshold_displ: float = 0.01     # [m] motion gate
     enable_alignment: bool = True     # gravity-align the {G} frame
     record_outputs: bool = False      # write TUM pose + timing files
+    # Initial velocity prior std [m/s].  The reference leaves the velocity
+    # variance at exactly zero (System.cc:154-169), which makes the filter
+    # inconsistent whenever the motion gate fires after real motion onset;
+    # set to 0.0 for strict reference parity.
+    sigma_v0: float = 0.1
 
 
 @dataclass(frozen=True)

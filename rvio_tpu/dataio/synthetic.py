@@ -77,9 +77,11 @@ class SyntheticSequence:
 
 
 def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
-                      static_time: float = 1.5, seed: int = 0,
-                      n_landmarks: int = 600, meas_noise: float = 0.0,
-                      imu_noise: bool = False, motion_scale: float = 1.0,
+                      static_time: float = 1.5, ramp_time: float = 2.0,
+                      rotation_lead: float = 0.5,
+                      seed: int = 0, n_landmarks: int = 600,
+                      meas_noise: float = 0.0, imu_noise: bool = False,
+                      motion_scale: float = 1.0,
                       drop_prob: float = 0.0) -> SyntheticSequence:
     rng = np.random.default_rng(seed)
     G = cfg.imu.gravity
@@ -93,7 +95,12 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
     e_om = 2 * np.pi * np.array([0.13, 0.23, 0.19])
     e_ph = np.array([0.5, 1.7, 0.2])
 
-    ramp_t0, ramp_t1 = static_time, static_time + 2.0
+    # Rotation onset leads translation (a platform tilts before it
+    # accelerates): the motion gate then fires on the gyro while the true
+    # velocity is still near zero, like a real EuRoC takeoff.
+    rot_t0, rot_t1 = static_time, static_time + ramp_time
+    ramp_t0 = static_time + rotation_lead
+    ramp_t1 = ramp_t0 + ramp_time
 
     def pos_vel_acc(t):
         s, sd, sdd = _smoothstep(t, ramp_t0, ramp_t1)
@@ -107,9 +114,9 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
         return p, v, a
 
     def R_wb(t):
-        s, _, _ = _smoothstep(t, ramp_t0, ramp_t1)
+        s, _, _ = _smoothstep(t, rot_t0, rot_t1)
         ang = s * e_amp * np.sin(e_om * t + e_ph)
-        ang0 = s * e_amp * np.sin(e_om * ramp_t0 + e_ph)
+        ang0 = s * e_amp * np.sin(e_om * rot_t0 + e_ph)
         yaw, pitch, roll = ang - ang0
         return _euler_to_R(yaw, pitch, roll)
 
@@ -129,9 +136,15 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
     imu_w = np.zeros((n_imu, 3))
     imu_a = np.zeros((n_imu, 3))
     for i, t in enumerate(imu_t):
-        _, _, a_w = pos_vel_acc(t)
-        R = R_wb(t)
-        imu_w[i] = body_rate(t) + bg
+        # Midpoint sampling over the integration interval (t-dt, t]: real
+        # IMUs average over the sample period, and the filter integrates
+        # each sample as piecewise-constant — midpoint keeps the simulated
+        # stream 2nd-order consistent with that convention (endpoint
+        # sampling injects a systematic O(dt) rate error at the gyro).
+        tm = t - 0.5 * imu_dt
+        _, _, a_w = pos_vel_acc(tm)
+        R = R_wb(tm)
+        imu_w[i] = body_rate(tm) + bg
         imu_a[i] = R.T @ (a_w + G * z_w) + ba
         if imu_noise:
             # discrete-time noise: sigma/sqrt(dt)
@@ -255,3 +268,57 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
         feat_valid=feat_valid, gt_p=gt_p, gt_R=gt_R, gt_v=gt_v,
         bg=bg, ba=ba, landmarks=landmarks,
         slot_landmark=slot_lm_out, slot_px=slot_px_out)
+
+
+def project_landmarks(cfg: RVIOConfig, sim: SyntheticSequence, k: int):
+    """Distorted pixel positions + visibility of all landmarks at frame k."""
+    from rvio_tpu.frontend.undistort import project_to_pixels
+    import jax.numpy as jnp
+
+    R = sim.gt_R[k]
+    p_cam_w = sim.gt_p[k] + R @ cfg.camera.t_bc
+    R_wc = R @ cfg.camera.R_bc
+    pc = (sim.landmarks - p_cam_w) @ R_wc
+    z = pc[:, 2]
+    zs = np.where(np.abs(z) < 1e-6, 1e-6, z)
+    xn = pc[:, 0] / zs
+    yn = pc[:, 1] / zs
+    c = cfg.camera
+    px = np.asarray(project_to_pixels(
+        jnp.asarray(np.stack([xn, yn], 1)), fx=c.fx, fy=c.fy, cx=c.cx,
+        cy=c.cy, k1=c.k1, k2=c.k2, p1=c.p1, p2=c.p2, k3=c.k3,
+        fisheye=c.is_fisheye))
+    vis = (z > 0.4) & (z < 25.0) & (px[:, 0] > 12) & (px[:, 0] < c.width - 12) \
+        & (px[:, 1] > 12) & (px[:, 1] < c.height - 12)
+    return px, vis
+
+
+def render_frame(cfg: RVIOConfig, sim: SyntheticSequence, k: int,
+                 blob: int = 4, base: float = 80.0) -> np.ndarray:
+    """Render frame k: a checker-cross corner at every visible landmark.
+
+    Each landmark paints a 2x2 checkerboard tile centered at its projected
+    pixel — a maximal Shi-Tomasi corner — so the real front-end (detection,
+    KLT, RANSAC, lifecycle) can run on synthetic imagery with known
+    geometry.  Returns (H, W) float32 in [0, 255].
+    """
+    H, W = cfg.camera.height, cfg.camera.width
+    img = np.full((H, W), base, np.float32)
+    # mild vignette so the background is not perfectly flat
+    yy, xx = np.mgrid[0:H, 0:W]
+    img += 20.0 * np.cos(2 * np.pi * xx / W) * np.cos(2 * np.pi * yy / H)
+
+    px, vis = project_landmarks(cfg, sim, k)
+    for (x, y) in px[vis]:
+        xi, yi = int(round(x)), int(round(y))
+        x0, x1 = max(xi - blob, 0), min(xi + blob, W)
+        y0, y1 = max(yi - blob, 0), min(yi + blob, H)
+        for sy in (0, 1):
+            for sx in (0, 1):
+                val = 230.0 if (sx + sy) % 2 == 0 else 20.0
+                ya = yi if sy else y0
+                yb = y1 if sy else yi
+                xa = xi if sx else x0
+                xb = x1 if sx else xi
+                img[ya:yb, xa:xb] = val
+    return img

@@ -33,7 +33,10 @@ def _conv2(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     x = jnp.pad(img, ((ph, ph), (pw, pw)), mode="reflect")
     x = x[None, None]
     k = jnp.asarray(kernel, img.dtype)[None, None]
-    y = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID")
+    # image convs tolerate bf16 passes: keep the fast MXU path even when the
+    # global default is 'highest' for the filter algebra
+    y = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID",
+                                     precision=jax.lax.Precision.DEFAULT)
     return y[0, 0]
 
 

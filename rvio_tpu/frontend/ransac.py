@@ -113,6 +113,8 @@ def gyro_ransac(key: jax.Array, pts1: jnp.ndarray, pts2: jnp.ndarray,
     e_best = errs[best]
     keep = candidate & (e_best <= inlier_threshold) & jnp.isfinite(e_best)
 
-    # Too few candidates: pass through (reference returns early).
-    enough = n_cand > n_hypotheses
+    # Too few candidates: pass through.  (The reference gates on
+    # n_cand > nIterations, Ransac.cc:201-205, but its without-replacement
+    # pair sampling actually needs 2x that to terminate — we gate there.)
+    enough = n_cand >= 2 * n_hypotheses
     return jnp.where(enough, keep, candidate)

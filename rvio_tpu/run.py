@@ -1,0 +1,105 @@
+"""Command-line sequence runner — the offline equivalent of the ROS node.
+
+Replaces rvio_mono + roslaunch (reference: src/rvio_mono.cc,
+launch/euroc.launch): reads a config (native or the reference's OpenCV-YAML
+format verbatim), replays a EuRoC directory or a synthetic sequence through
+the full pipeline, and writes the TUM trajectory + per-frame timing files
+(same outputs as INI.RecordOutputs, System.cc:371-379).
+
+Usage:
+  python -m rvio_tpu.run --synthetic 30 --output out/            # simulator
+  python -m rvio_tpu.run --euroc /data/V1_01_easy --output out/  # dataset
+  python -m rvio_tpu.run --euroc /data/MH_01 --skip 40 --config rvio_euroc.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="rvio_tpu sequence runner")
+    ap.add_argument("--config", default=None,
+                    help="YAML config (native or reference cv-format)")
+    ap.add_argument("--euroc", default=None,
+                    help="EuRoC sequence dir (contains mav0/)")
+    ap.add_argument("--synthetic", type=float, default=None, metavar="SECONDS",
+                    help="run the simulator for SECONDS instead of a dataset")
+    ap.add_argument("--skip", type=float, default=0.0,
+                    help="seconds of data to skip (MH_* needs ~40)")
+    ap.add_argument("--output", default="out",
+                    help="output directory for trajectory/timing files")
+    ap.add_argument("--platform", default=None, choices=["cpu", "axon", "tpu"],
+                    help="force a JAX platform")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--noise", action="store_true",
+                    help="synthetic: enable IMU+measurement noise")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.platform:
+        plat = "axon" if args.platform == "tpu" else args.platform
+        jax.config.update("jax_platforms", plat)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from rvio_tpu.config import RVIOConfig, load_config
+    from rvio_tpu.dataio.tum import write_tum
+    from rvio_tpu.runtime.driver import SequenceDriver, batches_from_sim
+
+    cfg = load_config(args.config) if args.config else RVIOConfig()
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    os.makedirs(args.output, exist_ok=True)
+
+    if args.synthetic is not None:
+        from rvio_tpu.dataio.synthetic import simulate_sequence
+        sim = simulate_sequence(cfg, duration=args.synthetic, seed=args.seed,
+                                meas_noise=0.001 if args.noise else 0.0,
+                                imu_noise=args.noise)
+        driver = SequenceDriver(cfg, dtype=dtype)
+        t0 = time.perf_counter()
+        res = driver.run(sim.imu_t, sim.imu_w, sim.imu_a, sim.frame_t,
+                         batches_from_sim(sim), progress=True)
+        wall = time.perf_counter() - t0
+        from rvio_tpu.eval.ate import ate_rmse
+        idx = np.searchsorted(sim.frame_t, res.timestamps)
+        ate = ate_rmse(res.positions, sim.gt_p[idx])
+        print(f"ATE RMSE: {ate * 100:.2f} cm over {len(res.timestamps)} frames "
+              f"({len(res.timestamps) / wall:.1f} fps)")
+    elif args.euroc:
+        from rvio_tpu.dataio.euroc import load_euroc
+        from rvio_tpu.runtime.image_driver import run_euroc_sequence
+        seq = load_euroc(args.euroc, skip_s=args.skip)
+        res = run_euroc_sequence(cfg, seq, dtype=dtype, progress=True)
+        if seq.gt_p is not None:
+            from rvio_tpu.eval.ate import ate_rmse
+            gi = np.searchsorted(seq.gt_t, res.timestamps)
+            gi = np.clip(gi, 0, len(seq.gt_t) - 1)
+            ate = ate_rmse(res.positions, seq.gt_p[gi])
+            print(f"ATE RMSE: {ate * 100:.2f} cm")
+    else:
+        ap.error("need --euroc or --synthetic")
+
+    # Reference-parity outputs (System.cc:371-379)
+    write_tum(os.path.join(args.output, "stamped_pose_ests.dat"),
+              res.timestamps, res.positions, res.quaternions)
+    with open(os.path.join(args.output, "time_cost.dat"), "w") as f:
+        for i, (fe, be) in enumerate(zip(res.frontend_ms, res.backend_ms)):
+            f.write(f"{i + 1} {fe:.6f} {be:.6f}\n")
+    print(f"wrote {args.output}/stamped_pose_ests.dat, time_cost.dat")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

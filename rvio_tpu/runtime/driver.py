@@ -78,7 +78,8 @@ class InitializationGate:
             sigma_a=cfg.imu.sigma_a, sigma_wg=cfg.imu.sigma_wg,
             sigma_wa=cfg.imu.sigma_wa,
             enable_alignment=cfg.init.enable_alignment,
-            max_clones=cfg.window_size, use_bias_estimates=n > 1)
+            max_clones=cfg.window_size, sigma_v0=cfg.init.sigma_v0,
+            use_bias_estimates=n > 1)
 
 
 def bundle_imu(imu_t: np.ndarray, imu_w: np.ndarray, imu_a: np.ndarray,

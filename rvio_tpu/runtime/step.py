@@ -96,3 +96,44 @@ def make_sequence_scan(cfg: RVIOConfig):
         return jax.lax.scan(body, state, bundles)
 
     return run
+
+
+def make_batched_sequence_scan(cfg: RVIOConfig):
+    """Whole-sequence scan vmapped over a leading segment-batch axis.
+
+    Single-chip throughput mode: B independent filters advance in lockstep,
+    so every small matrix op in the step becomes a batched op — amortizing
+    the dispatch/latency cost that dominates a lone 108-dim filter.  This is
+    the natural offline-replay shape (dataset sequences / long-run segments).
+    """
+    imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
+                  sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
+                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa)
+    upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
+                  sigma_im=cfg.camera.sigma_image,
+                  min_clone_states=cfg.min_clone_states,
+                  compression=cfg.tpu.compression)
+
+    def body(state, bundle):
+        st = propagate(state, bundle.imu, **imu_kw)
+        st, diag = msckf_update(st, bundle.batch, **upd_kw)
+        st = augment_window(st)
+        st, (q_kG, p_Gk, vk) = compose_state(st)
+        return st, {"q_kG": q_kG, "p_Gk": p_Gk, "v_k": vk,
+                    "n_good": diag["n_good"]}
+
+    vbody = jax.vmap(body)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(states: FilterState, bundles: FrameBundle):
+        # bundles leaves: (B, T, ...) -> scan over T with vmapped body
+        swapped = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), bundles)
+
+        def step(ss, bb):
+            return vbody(ss, bb)
+
+        final, outs = jax.lax.scan(step, states, swapped)
+        outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+        return final, outs
+
+    return run

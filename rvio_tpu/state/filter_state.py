@@ -108,6 +108,7 @@ def static_initialize(w_avg: jnp.ndarray, a_avg: jnp.ndarray, n_imu,
                       *, gravity: float, imu_rate: float,
                       sigma_a: float, sigma_wg: float, sigma_wa: float,
                       enable_alignment: bool, max_clones: int,
+                      sigma_v0: float = 0.0,
                       use_bias_estimates=True) -> FilterState:
     """Build the initial filter state from a static-window IMU average.
 
@@ -143,6 +144,7 @@ def static_initialize(w_avg: jnp.ndarray, a_avg: jnp.ndarray, n_imu,
     diag = jnp.zeros(24 + 6 * max_clones, dtype)
     diag = diag.at[0:6].set(1e-3 ** 2)                      # qG, pG
     diag = diag.at[6:9].set(n_imu * dt * sigma_a ** 2)      # g
+    diag = diag.at[15:18].set(sigma_v0 ** 2)                # vR (see config)
     diag = diag.at[18:21].set(n_imu * dt * sigma_wg ** 2)   # bg
     diag = diag.at[21:24].set(n_imu * dt * sigma_wa ** 2)   # ba
     P = jnp.diag(diag)

@@ -111,16 +111,19 @@ class TestSimulatorPhysics:
         p = np.zeros(3)
         v = np.zeros(3)
         z = np.array([0, 0, 1.0])
+        # integrate exactly up to the last frame time (compare same instant)
+        k = len(sim.frame_t) - 1
+        t_end = sim.frame_t[k]
         t_prev = 0.0
         for i, t in enumerate(sim.imu_t):
+            if t > t_end + 1e-9:
+                break
             dt = t - t_prev
             t_prev = t
-            # midpoint-ish integration in world frame
             a_w = R @ sim.imu_a[i] - G * z
             p = p + v * dt + 0.5 * a_w * dt ** 2
             v = v + a_w * dt
             R = R @ ScipyRot.from_rotvec(sim.imu_w[i] * dt).as_matrix()
-        k = np.searchsorted(sim.frame_t, sim.imu_t[-1]) - 1
         err = np.linalg.norm(p - sim.gt_p[k])
         assert err < 0.05, f"dead-reckoning drift {err:.3f} m"
 

@@ -197,6 +197,23 @@ class TestKLT:
         got = np.median(d[st], axis=0)
         np.testing.assert_allclose(got, shift, atol=0.3)
 
+    def test_tile_matches_gather_formulation(self):
+        from rvio_tpu.frontend.klt import klt_track_gather
+        rng = np.random.default_rng(15)
+        img1, img2 = self._shifted_pair(rng, (4.2, -3.1), h=200, w=260)
+        pyr1 = build_pyramid(img1, 3)
+        pyr2 = build_pyramid(img2, 3)
+        pts = jnp.asarray(np.stack(np.meshgrid(np.arange(50, 210, 20),
+                                               np.arange(50, 150, 20)),
+                                   -1).reshape(-1, 2), jnp.float64)
+        act = jnp.ones(pts.shape[0], bool)
+        p_a, s_a, _ = klt_track(pyr1, pyr2, pts, act, win=15)
+        p_b, s_b, _ = klt_track_gather(pyr1, pyr2, pts, act, win=15)
+        both = np.asarray(s_a) & np.asarray(s_b)
+        assert both.mean() > 0.7
+        np.testing.assert_allclose(np.asarray(p_a)[both],
+                                   np.asarray(p_b)[both], atol=0.05)
+
     def test_inactive_lanes_skipped(self):
         rng = np.random.default_rng(12)
         img1, img2 = self._shifted_pair(rng, (1.0, 1.0))
