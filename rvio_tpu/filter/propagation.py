@@ -154,8 +154,11 @@ def propagate(state: FilterState, imu: ImuBlock, *,
         dv=jnp.zeros(3, dtype), pk=state.p_R, vk=state.v_R, gk=state.g,
         P=state.P[:24, :24], Psi=jnp.eye(24, dtype=dtype),
         Dt=jnp.zeros((), dtype))
+    # Full unroll: the per-sample ops are tiny (24x24); unrolling lets XLA
+    # fuse across samples instead of paying per-iteration launch latency.
     final, _ = jax.lax.scan(step, init,
-                            (imu.w, imu.a, imu.dt, imu.valid))
+                            (imu.w, imu.a, imu.dt, imu.valid),
+                            unroll=True)
 
     # Clone cross-covariance advances by the accumulated Psi once per frame
     # (PreIntegrator.cc:186-191); invalid clone cols are zero and stay zero.

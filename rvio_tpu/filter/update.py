@@ -206,7 +206,7 @@ def _lm_triangulate(z, Rc, tc, track_len, sigma_im, L):
     init = _LMState(phi0, psi0, jnp.zeros((), dtype),
                     jnp.asarray(0.01, dtype), jnp.asarray(jnp.inf, dtype),
                     jnp.zeros((), bool))
-    out, _ = jax.lax.scan(body, init, None, length=10)
+    out, _ = jax.lax.scan(body, init, None, length=10, unroll=True)
 
     ok = (ok0 & (jnp.abs(out.phi) <= _ANGLE_BOUND)
           & (jnp.abs(out.psi) <= _ANGLE_BOUND)

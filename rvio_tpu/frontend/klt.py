@@ -9,9 +9,10 @@ feature is gathered ONCE (prev-image template + gradients, next-image
 search tile).  Bilinear sampling is separable, so every iteration's patch
 resample becomes two small matmuls per feature:
 
-    patch = Wy(frac) @ tile @ Wx(frac)^T        (N, win, win)
+    patch = lerp(gather_rows(tile)) then lerp(gather_cols)   (N, win, win)
 
-with Wy/Wx banded interpolation matrices built from iota comparisons (VPU).
+(separable 2-tap bilinear as fused gathers — batched tiny matmuls would
+lower to per-element MXU dispatches on TPU).
 All N features iterate together; a batch-level while_loop exits when every
 feature has converged, recovering OpenCV's per-feature early exit.
 
@@ -46,40 +47,60 @@ def _gather_tiles(img: jnp.ndarray, origin: jnp.ndarray, tile: int
     return img[rows[:, :, None], cols[:, None, :]]
 
 
-def _interp_weights(local: jnp.ndarray, win: int, tile: int) -> jnp.ndarray:
-    """Banded bilinear row-weights: (N, win, tile).
+def _tile_gather_dispatch(use_pallas: bool):
+    """Pick the Pallas DMA gather on TPU backends, XLA gather elsewhere."""
+    if use_pallas and jax.default_backend() in ("tpu", "axon"):
+        from rvio_tpu.ops.tile_gather import gather_tiles_pallas
+        return lambda img, o, tile: gather_tiles_pallas(img, o, tile=tile)
+    return _gather_tiles
+
+
+def _tap_indices(local: jnp.ndarray, win: int, tile: int):
+    """2-tap bilinear sampling indices/weights along one axis.
 
     local: (N,) fractional coordinate of the patch center within the tile.
-    Row i interpolates position local - win//2 + i.
+    Row i interpolates position local - win//2 + i.  Returns (f, frac) with
+    f clipped to [0, tile-2] (edge replication beyond the tile).
     """
     r = win // 2
-    pos = local[:, None] + (jnp.arange(win) - r)[None, :]      # (N, win)
+    pos = local[:, None] + (jnp.arange(win, dtype=local.dtype) - r)[None, :]
     f = jnp.floor(pos)
     frac = (pos - f).astype(local.dtype)
     f = jnp.clip(f.astype(jnp.int32), 0, tile - 2)
-    t = jnp.arange(tile)[None, None, :]
-    w0 = (t == f[:, :, None]).astype(local.dtype) * (1.0 - frac)[:, :, None]
-    w1 = (t == (f + 1)[:, :, None]).astype(local.dtype) * frac[:, :, None]
-    return w0 + w1
+    return f, frac
 
 
-def _sample_patches(tiles: jnp.ndarray, Wy: jnp.ndarray, Wx: jnp.ndarray
-                    ) -> jnp.ndarray:
-    """(N,T,T), (N,win,T), (N,win,T) -> (N,win,win) via two batched matmuls."""
-    tmp = jnp.einsum("nit,nts->nis", Wy, tiles)
-    return jnp.einsum("nis,njs->nij", tmp, Wx)
+def _sample_patches(tiles: jnp.ndarray, loc_y: jnp.ndarray,
+                    loc_x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """(N,T,T) tiles sampled at fractional centers -> (N,win,win).
+
+    Separable bilinear via two 2-tap gathers + lerps: batched tiny matmuls
+    lower to per-element MXU calls on TPU, while take_along_axis stays one
+    fused gather — ~100x cheaper inside the sequential LK iteration.
+    """
+    T = tiles.shape[-1]
+    fy, wy = _tap_indices(loc_y, win, T)
+    fx, wx = _tap_indices(loc_x, win, T)
+    r0 = jnp.take_along_axis(tiles, fy[:, :, None], axis=1)
+    r1 = jnp.take_along_axis(tiles, (fy + 1)[:, :, None], axis=1)
+    rows = r0 * (1 - wy)[:, :, None] + r1 * wy[:, :, None]     # (N, win, T)
+    c0 = jnp.take_along_axis(rows, fx[:, None, :], axis=2)
+    c1 = jnp.take_along_axis(rows, (fx + 1)[:, None, :], axis=2)
+    return c0 * (1 - wx)[:, None, :] + c1 * wx[:, None, :]
 
 
 def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
               pts: jnp.ndarray, active: jnp.ndarray, *, win: int = 15,
               max_iters: int = 30, eps: float = 1e-2,
-              min_eig: float = 1e-3) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+              min_eig: float = 1e-3, use_pallas: bool = False
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Track points from prev to next image through the pyramid.
 
     pts: (N, 2) pixel coords in the full-resolution previous image.
     active: (N,) bool — inactive lanes are skipped (status False).
     Returns (new_pts (N,2), status (N,), err (N,)).
     """
+    gather = _tile_gather_dispatch(use_pallas)
     levels = len(prev_pyr) - 1
     N = pts.shape[0]
     dtype = pts.dtype
@@ -101,16 +122,14 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
         o0 = (jnp.round(p_lvl).astype(jnp.int32) - TILE // 2)
         o0 = jnp.stack([jnp.clip(o0[:, 0], 0, max(W - TILE, 0)),
                         jnp.clip(o0[:, 1], 0, max(H - TILE, 0))], axis=1)
-        t_img = _gather_tiles(prev_img, o0, TILE)
-        t_gx = _gather_tiles(gx_img, o0, TILE)
-        t_gy = _gather_tiles(gy_img, o0, TILE)
+        t_img = gather(prev_img, o0, TILE)
+        t_gx = gather(gx_img, o0, TILE)
+        t_gy = gather(gy_img, o0, TILE)
 
         loc0 = p_lvl - o0.astype(dtype)
-        Wy0 = _interp_weights(loc0[:, 1], win, TILE)
-        Wx0 = _interp_weights(loc0[:, 0], win, TILE)
-        tmpl = _sample_patches(t_img, Wy0, Wx0)
-        gx = _sample_patches(t_gx, Wy0, Wx0)
-        gy = _sample_patches(t_gy, Wy0, Wx0)
+        tmpl = _sample_patches(t_img, loc0[:, 1], loc0[:, 0], win)
+        gx = _sample_patches(t_gx, loc0[:, 1], loc0[:, 0], win)
+        gy = _sample_patches(t_gy, loc0[:, 1], loc0[:, 0], win)
 
         gxx = jnp.sum(gx * gx, axis=(1, 2))
         gxy = jnp.sum(gx * gy, axis=(1, 2))
@@ -135,25 +154,24 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
         o1 = (jnp.round(guess).astype(jnp.int32) - TILE // 2)
         o1 = jnp.stack([jnp.clip(o1[:, 0], 0, max(W - TILE, 0)),
                         jnp.clip(o1[:, 1], 0, max(H - TILE, 0))], axis=1)
-        n_tiles = _gather_tiles(next_img, o1, TILE)
+        n_tiles = gather(next_img, o1, TILE)
         o1f = o1.astype(dtype)
         margin_lo = float(r)
         margin_hi = float(TILE - r - 2)
+        g_init = guess  # level-entry guess: wandering is measured from here
+        wander = float(TILE - win) / 2.0 - 1.0
 
-        def cond(carry):
-            g, it, conv, alive = carry
-            return (it < max_iters) & jnp.any(~conv & alive)
-
-        def body(carry):
-            g, it, conv, alive = carry
+        def body(it, carry):
+            g, conv, alive = carry
+            # kill only genuinely wandering tracks — border features whose
+            # tile origin was clamped must keep their clamp-sampled patch
+            d = jnp.abs(g - g_init)
+            alive = alive & (d[:, 0] <= wander) & (d[:, 1] <= wander)
             loc = g - o1f
-            in_tile = ((loc[:, 0] >= margin_lo) & (loc[:, 0] <= margin_hi)
-                       & (loc[:, 1] >= margin_lo) & (loc[:, 1] <= margin_hi))
-            alive = alive & in_tile
-            locc = jnp.clip(loc, margin_lo, margin_hi)
-            Wy = _interp_weights(locc[:, 1], win, TILE)
-            Wx = _interp_weights(locc[:, 0], win, TILE)
-            cur = _sample_patches(n_tiles, Wy, Wx)
+            # clamp only to the tile itself; the banded weights edge-replicate
+            # beyond it (mirrors bilinear_sample's border clamping)
+            locc = jnp.clip(loc, 0.0, float(TILE - 1))
+            cur = _sample_patches(n_tiles, locc[:, 1], locc[:, 0], win)
             di = cur - tmpl
             bx = jnp.sum(di * gx, axis=(1, 2))
             by = jnp.sum(di * gy, axis=(1, 2))
@@ -163,11 +181,14 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
             take = (~conv & alive)[:, None]
             g_new = jnp.where(take, g + step, g)
             conv_new = conv | (jnp.sum(step * step, axis=-1) < eps * eps)
-            return g_new, it + 1, conv_new, alive
+            return g_new, conv_new, alive
 
+        # Fixed-trip masked loop: per-iteration work is ~us-scale batched
+        # matmuls, while_loop sync costs ~300us/iteration on TPU — running
+        # all iterations masked is ~100x cheaper than "early exit".
         conv0 = jnp.zeros(N, bool)
-        guess, _, _, alive = jax.lax.while_loop(
-            cond, body, (guess, jnp.int32(0), conv0, status))
+        guess, _, alive = jax.lax.fori_loop(
+            0, max_iters, body, (guess, conv0, status))
         status = status & alive
 
         if lvl > 0:
@@ -176,10 +197,8 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
             inb2 = ((guess[:, 0] > rb) & (guess[:, 0] < W - rb - 1)
                     & (guess[:, 1] > rb) & (guess[:, 1] < H - rb - 1))
             status = status & inb2
-            loc = jnp.clip(guess - o1f, margin_lo, margin_hi)
-            Wy = _interp_weights(loc[:, 1], win, TILE)
-            Wx = _interp_weights(loc[:, 0], win, TILE)
-            cur = _sample_patches(n_tiles, Wy, Wx)
+            loc = jnp.clip(guess - o1f, 0.0, float(TILE - 1))
+            cur = _sample_patches(n_tiles, loc[:, 1], loc[:, 0], win)
             err = jnp.mean(jnp.abs(cur - tmpl), axis=(1, 2))
 
     return guess, status, err
@@ -242,12 +261,8 @@ def klt_track_gather(prev_pyr, next_pyr, pts, active, *, win: int = 15,
                & (p_lvl[:, 1] > r) & (p_lvl[:, 1] < H - r - 1))
         status = status & ok_level & inb
 
-        def cond(carry):
-            g, it, conv = carry
-            return (it < max_iters) & jnp.any(~conv & status)
-
-        def body(carry):
-            g, it, conv = carry
+        def body(it, carry):
+            g, conv = carry
             cur = jax.vmap(lambda c: _sample_patch(next_img, c, win))(g)
             di = cur - tmpl
             bx = jnp.sum(di * gx, axis=(1, 2))
@@ -258,10 +273,10 @@ def klt_track_gather(prev_pyr, next_pyr, pts, active, *, win: int = 15,
             take = (~conv & status)[:, None]
             g_new = jnp.where(take, g + step, g)
             conv_new = conv | (jnp.sum(step * step, axis=-1) < eps * eps)
-            return g_new, it + 1, conv_new
+            return g_new, conv_new
 
-        guess, _, _ = jax.lax.while_loop(
-            cond, body, (guess, jnp.int32(0), jnp.zeros(N, bool)))
+        guess, _ = jax.lax.fori_loop(
+            0, max_iters, body, (guess, jnp.zeros(N, bool)))
 
         if lvl > 0:
             guess = guess * 2.0

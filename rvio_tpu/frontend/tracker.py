@@ -110,7 +110,8 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
         new_pos, status, err = klt_track(
             list(ts.pyramid), list(pyr), ts.pos, ts.active,
             win=cfg.tracker.klt_window, max_iters=cfg.tracker.klt_max_iters,
-            eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig)
+            eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig,
+            use_pallas=cfg.tpu.use_pallas)
 
         zn = undistort_normalize(new_pos, **cam).astype(dtype)
 

@@ -1,0 +1,55 @@
+"""Full image-level end-to-end test: rendered frames -> tracker -> filter -> ATE.
+
+The complete pipeline the reference runs on EuRoC bags (track + propagate +
+update + compose), exercised jointly on synthetic imagery with known ground
+truth — the strongest integration test in the suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvio_tpu.config import (RVIOConfig, ImuConfig, CameraConfig,
+                             TrackerConfig, TpuConfig, InitConfig)
+from rvio_tpu.dataio.synthetic import simulate_sequence, render_frame
+from rvio_tpu.eval.ate import ate_rmse
+from rvio_tpu.runtime.driver import bundle_imu
+from rvio_tpu.runtime.image_driver import ImagePipeline
+
+
+@pytest.mark.slow
+def test_image_pipeline_tracks_trajectory():
+    cfg = RVIOConfig(
+        imu=ImuConfig(rate_hz=100.0),
+        camera=CameraConfig(fps=10.0, width=320, height=240, fx=200.0,
+                            fy=200.0, cx=160.0, cy=120.0, k1=-0.05, k2=0.01,
+                            p1=0.0, p2=0.0),
+        tracker=TrackerConfig(num_features=48, max_tracking_length=8,
+                              min_tracking_length=3, min_distance=12.0,
+                              block_size_x=80, block_size_y=60),
+        init=InitConfig(sigma_v0=0.1),
+        tpu=TpuConfig(imu_block=16))
+    sim = simulate_sequence(cfg, duration=9.0, static_time=1.0, ramp_time=1.5,
+                            seed=6, n_landmarks=400, motion_scale=0.5)
+    groups = bundle_imu(sim.imu_t, sim.imu_w, sim.imu_a, sim.frame_t)
+
+    pipe = ImagePipeline(cfg, dtype=jnp.float64)
+    est_t, est_p = [], []
+    for k in range(len(sim.frame_t)):
+        img = render_frame(cfg, sim, k)
+        w, a, dts = groups[k]
+        out = pipe.process(sim.frame_t[k], img, w, a, dts)
+        if out is not None:
+            est_t.append(sim.frame_t[k])
+            est_p.append(np.asarray(out["p_Gk"]))
+    assert len(est_p) > 50, "pipeline never initialized / produced poses"
+    est_p = np.asarray(est_p)
+    idx = np.searchsorted(sim.frame_t, np.asarray(est_t))
+    gt = sim.gt_p[idx]
+    ate = ate_rmse(est_p, gt)
+    # image-level: detection quantization (~0.5 px) + KLT noise; bound is
+    # looser than the feature-level tests but must show real tracking
+    span = np.linalg.norm(gt.max(0) - gt.min(0))
+    assert span > 0.5
+    assert ate < 0.25, f"image-level ATE {ate:.3f} m over {span:.2f} m span"
