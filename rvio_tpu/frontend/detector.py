@@ -115,46 +115,56 @@ def grid_top_corners(resp: jnp.ndarray, cell: int, max_corners: int,
 
 
 def corner_subpix(img: jnp.ndarray, pts: jnp.ndarray, win: int = 7,
-                  iters: int = 10) -> jnp.ndarray:
+                  iters: int = 10, use_pallas: bool = False) -> jnp.ndarray:
     """Batched cv::cornerSubPix: gradient-product centroid iteration.
 
     win: half-window (reference uses floor(minDist/2)=7 -> 15x15 window,
-    FeatureDetector.cc:68).
+    FeatureDetector.cc:68).  Iterations resample from per-corner tiles
+    gathered once (the klt machinery) — per-iteration image gathers are
+    ~ms-scale scalar loops on TPU.
     """
+    from rvio_tpu.frontend.klt import (_tile_gather_dispatch, _sample_patches,
+                                       TILE, TILE_H)
+
     size = 2 * win + 1
-    off = jnp.arange(-win, win + 1, dtype=img.dtype)
+    N = pts.shape[0]
+    dtype = pts.dtype
+    off = jnp.arange(-win, win + 1, dtype=dtype)
     oy, ox = jnp.meshgrid(off, off, indexing="ij")
     # Gaussian-ish weight mask (OpenCV uses an exponential taper)
     wmask = jnp.exp(-(ox ** 2 + oy ** 2) / (2.0 * (win / 2.0) ** 2))
 
-    def refine(c):
-        def body(c, _):
-            coords = c[None, None, :] + jnp.stack([ox, oy], -1)
-            # gradients via central differences of bilinear samples
-            ex = jnp.stack([ox + 1.0, oy], -1) + c[None, None, :]
-            wx = jnp.stack([ox - 1.0, oy], -1) + c[None, None, :]
-            ey = jnp.stack([ox, oy + 1.0], -1) + c[None, None, :]
-            wy = jnp.stack([ox, oy - 1.0], -1) + c[None, None, :]
-            gx = (bilinear_sample(img, ex) - bilinear_sample(img, wx)) * 0.5
-            gy = (bilinear_sample(img, ey) - bilinear_sample(img, wy)) * 0.5
-            gxx = jnp.sum(wmask * gx * gx)
-            gxy = jnp.sum(wmask * gx * gy)
-            gyy = jnp.sum(wmask * gy * gy)
-            bx = jnp.sum(wmask * (gx * gx * ox + gx * gy * oy))
-            by = jnp.sum(wmask * (gx * gy * ox + gy * gy * oy))
-            det = gxx * gyy - gxy * gxy
-            safe = jnp.abs(det) > 1e-12
-            dets = jnp.where(safe, det, 1.0)
-            dx = jnp.where(safe, (gyy * bx - gxy * by) / dets, 0.0)
-            dy = jnp.where(safe, (-gxy * bx + gxx * by) / dets, 0.0)
-            step = jnp.stack([dx, dy])
-            step = jnp.clip(step, -1.0, 1.0)
-            return c + step, None
+    gather = _tile_gather_dispatch(use_pallas)
+    o_ideal = jnp.stack(
+        [jnp.round(pts[:, 0]).astype(jnp.int32) - TILE // 2,
+         jnp.round(pts[:, 1]).astype(jnp.int32) - TILE_H // 2], axis=1)
+    tiles, o = gather(img, o_ideal)
+    of = o.astype(dtype)
+    ylim = float(tiles.shape[1] - 1)
+    xlim = float(tiles.shape[2] - 1)
 
-        out, _ = jax.lax.scan(body, c, None, length=iters)
-        return out
+    def sample(c, dx_off, dy_off):
+        locy = jnp.clip(c[:, 1] - of[:, 1] + dy_off, 0.0, ylim)
+        locx = jnp.clip(c[:, 0] - of[:, 0] + dx_off, 0.0, xlim)
+        return _sample_patches(tiles, locy, locx, size)
 
-    return jax.vmap(refine)(pts)
+    def body(it, c):
+        gx = (sample(c, 1.0, 0.0) - sample(c, -1.0, 0.0)) * 0.5
+        gy = (sample(c, 0.0, 1.0) - sample(c, 0.0, -1.0)) * 0.5
+        gxx = jnp.sum(wmask * gx * gx, axis=(1, 2))
+        gxy = jnp.sum(wmask * gx * gy, axis=(1, 2))
+        gyy = jnp.sum(wmask * gy * gy, axis=(1, 2))
+        bx = jnp.sum(wmask * (gx * gx * ox + gx * gy * oy), axis=(1, 2))
+        by = jnp.sum(wmask * (gx * gy * ox + gy * gy * oy), axis=(1, 2))
+        det = gxx * gyy - gxy * gxy
+        safe = jnp.abs(det) > 1e-12
+        dets = jnp.where(safe, det, 1.0)
+        dx = jnp.where(safe, (gyy * bx - gxy * by) / dets, 0.0)
+        dy = jnp.where(safe, (-gxy * bx + gxx * by) / dets, 0.0)
+        step = jnp.clip(jnp.stack([dx, dy], axis=-1), -1.0, 1.0)
+        return c + step
+
+    return jax.lax.fori_loop(0, iters, body, pts)
 
 
 def find_newer(cand_pts: jnp.ndarray, cand_valid: jnp.ndarray,

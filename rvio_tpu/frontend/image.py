@@ -40,9 +40,35 @@ def _conv2(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     return y[0, 0]
 
 
+def _sep_filter(img: jnp.ndarray, ky, kx) -> jnp.ndarray:
+    """Separable filter as shift-adds (reflect border).
+
+    XLA's generic conv is several ms on a single-channel VGA frame; the
+    small separable kernels used here (pyrDown, Scharr, Sobel, box) are just
+    a handful of full-image fused multiply-adds on the VPU.
+    """
+    ry, rx = len(ky) // 2, len(kx) // 2
+    H, W = img.shape
+    x = jnp.pad(img, ((ry, ry), (rx, rx)), mode="reflect")
+    rows = None
+    for i, c in enumerate(ky):
+        if c == 0:
+            continue
+        t = x[i:i + H, :] * c
+        rows = t if rows is None else rows + t
+    out = None
+    for j, c in enumerate(kx):
+        if c == 0:
+            continue
+        t = rows[:, j:j + W] * c
+        out = t if out is None else out + t
+    return out
+
+
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """cv::pyrDown: 5x5 Gaussian blur then decimate by 2 (ceil sizing)."""
-    blurred = _conv2(img, _PYR_K)
+    k5 = [1 / 16, 4 / 16, 6 / 16, 4 / 16, 1 / 16]
+    blurred = _sep_filter(img, k5, k5)
     return blurred[::2, ::2]
 
 
@@ -55,12 +81,22 @@ def build_pyramid(img: jnp.ndarray, levels: int):
 
 
 def scharr_gradients(img: jnp.ndarray):
-    """(Ix, Iy) with the LK derivative filter."""
-    return _conv2(img, _SCHARR_X), _conv2(img, _SCHARR_Y)
+    """(Ix, Iy) with the LK derivative filter (separable Scharr /32)."""
+    sm = [3 / 32, 10 / 32, 3 / 32]
+    dv = [-1.0, 0.0, 1.0]
+    return _sep_filter(img, sm, dv), _sep_filter(img, dv, sm)
 
 
 def sobel_gradients(img: jnp.ndarray):
-    return _conv2(img, _SOBEL_X), _conv2(img, _SOBEL_Y)
+    sm = [1 / 8, 2 / 8, 1 / 8]
+    dv = [-1.0, 0.0, 1.0]
+    return _sep_filter(img, sm, dv), _sep_filter(img, dv, sm)
+
+
+def box_filter(img: jnp.ndarray, size: int = 3) -> jnp.ndarray:
+    """Unnormalized box sum (cv::boxFilter normalize=false semantics)."""
+    k = [1.0] * size
+    return _sep_filter(img, k, k)
 
 
 def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 5,
@@ -83,8 +119,8 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 5,
     tiles = tiles.reshape(grid * grid, th * tw)
 
     bins = jnp.clip(tiles.astype(jnp.int32), 0, n_bins - 1)
-    one_hot = jax.nn.one_hot(bins, n_bins, dtype=img.dtype)
-    hist = one_hot.sum(axis=1)                          # (T, 256)
+    one_hot = jax.nn.one_hot(bins, n_bins, dtype=jnp.bfloat16)
+    hist = jnp.sum(one_hot, axis=1, dtype=img.dtype)    # (T, 256), f32 accum
 
     tile_area = th * tw
     limit = jnp.maximum(clip_limit * tile_area / n_bins, 1.0)
@@ -96,7 +132,9 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 5,
     scale = (n_bins - 1.0) / tile_area
     luts = cdf * scale                                  # (T, 256) mappings
 
-    # Bilinear interpolation between tile LUTs at every pixel.
+    # Bilinear interpolation between tile LUTs at every pixel, evaluated as
+    # one-hot(pixel) @ luts^T on the MXU — per-pixel table gathers are
+    # ms-scale scalar loops on TPU, the matmul is tens of us in bf16.
     yy = jnp.arange(Hp, dtype=img.dtype)
     xx = jnp.arange(Wp, dtype=img.dtype)
     ty = (yy - (th - 1) / 2.0) / th                     # tile coordinate
@@ -105,23 +143,25 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 5,
     tx0 = jnp.clip(jnp.floor(tx), 0, grid - 1).astype(jnp.int32)
     ty1 = jnp.clip(ty0 + 1, 0, grid - 1)
     tx1 = jnp.clip(tx0 + 1, 0, grid - 1)
-    fy = jnp.clip(ty - ty0, 0.0, 1.0)[:, None]
-    fx = jnp.clip(tx - tx0, 0.0, 1.0)[None, :]
+    fy = jnp.clip(ty - ty0.astype(img.dtype), 0.0, 1.0)
+    fx = jnp.clip(tx - tx0.astype(img.dtype), 0.0, 1.0)
+
+    # per-axis tile weights (Hp, grid)/(Wp, grid)
+    WY = (jax.nn.one_hot(ty0, grid, dtype=img.dtype) * (1 - fy)[:, None]
+          + jax.nn.one_hot(ty1, grid, dtype=img.dtype) * fy[:, None])
+    WX = (jax.nn.one_hot(tx0, grid, dtype=img.dtype) * (1 - fx)[:, None]
+          + jax.nn.one_hot(tx1, grid, dtype=img.dtype) * fx[:, None])
 
     pix = jnp.clip(x.astype(jnp.int32), 0, n_bins - 1)
-    luts_g = luts.reshape(grid, grid, n_bins)
-
-    def lut_at(tyi, txi):
-        tyg = jnp.broadcast_to(tyi[:, None], (Hp, Wp))
-        txg = jnp.broadcast_to(txi[None, :], (Hp, Wp))
-        return luts_g[tyg, txg, pix]                    # one gather, (Hp, Wp)
-
-    v00 = lut_at(ty0, tx0)
-    v01 = lut_at(ty0, tx1)
-    v10 = lut_at(ty1, tx0)
-    v11 = lut_at(ty1, tx1)
-    out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
-           + fy * ((1 - fx) * v10 + fx * v11))
+    oh = jax.nn.one_hot(pix.reshape(-1), n_bins, dtype=jnp.bfloat16)
+    vals = jax.lax.dot_general(
+        oh, luts.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)             # (Hp*Wp, grid*grid)
+    V = vals.reshape(Hp, Wp, grid, grid)
+    out = jnp.einsum("hp,wq,hwpq->hw", WY, WX, V,
+                     precision=jax.lax.Precision.DEFAULT)
     return out[:H, :W]
 
 

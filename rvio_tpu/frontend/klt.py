@@ -33,26 +33,64 @@ import jax.numpy as jnp
 
 from rvio_tpu.frontend.image import bilinear_sample, scharr_gradients
 
-TILE = 32  # search/template tile side; margin = (TILE - win)/2 - 1 px
+TILE = 32       # search/template tile width; margin = (TILE - win)/2 - 1 px
+TILE_H = 40     # tile height: 32 + 8 slack so row origins can be 8-aligned
+                # (TPU DMA/vector slices need sublane offsets divisible by 8)
 
 
-def _gather_tiles(img: jnp.ndarray, origin: jnp.ndarray, tile: int
+def _align_origins(origin: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Clamp origins in-bounds and 8-align the row origin."""
+    oy = jnp.clip(origin[:, 1], 0, max(H - TILE_H, 0))
+    oy = (oy // 8) * 8
+    ox = jnp.clip(origin[:, 0], 0, max(W - TILE, 0))
+    return jnp.stack([ox, oy], axis=1)
+
+
+def _gather_tiles(img: jnp.ndarray, origin: jnp.ndarray, th: int, tw: int
                   ) -> jnp.ndarray:
-    """Gather (N, tile, tile) neighborhoods at integer origins (clamped)."""
+    """Gather (N, th, tw) neighborhoods at integer (x, y) origins (clamped)."""
     H, W = img.shape
-    oy = jnp.clip(origin[:, 1], 0, H - tile)
-    ox = jnp.clip(origin[:, 0], 0, W - tile)
-    rows = oy[:, None] + jnp.arange(tile)[None, :]
-    cols = ox[:, None] + jnp.arange(tile)[None, :]
+    oy = jnp.clip(origin[:, 1], 0, max(H - th, 0))
+    ox = jnp.clip(origin[:, 0], 0, max(W - tw, 0))
+    rows = oy[:, None] + jnp.arange(th)[None, :]
+    cols = ox[:, None] + jnp.arange(tw)[None, :]
+    rows = jnp.minimum(rows, H - 1)
+    cols = jnp.minimum(cols, W - 1)
     return img[rows[:, :, None], cols[:, None, :]]
 
 
 def _tile_gather_dispatch(use_pallas: bool):
-    """Pick the Pallas DMA gather on TPU backends, XLA gather elsewhere."""
+    """Pick the tile gather backend.
+
+    Returns ``gather(img, ideal_origin) -> (tiles, actual_origin)``.  The
+    Pallas DMA path (TPU) needs (8, 128)-aligned origins, so it pads the
+    image, aligns the origin down, and returns wide (40, 256) tiles with the
+    residual folded into ``actual_origin``; XLA advanced-indexing returns
+    narrow (40, 32) tiles (row-aligned only).  XLA's general gather is a
+    ~ms-scale scalar loop on TPU — the DMA path is the fast one there.
+    """
     if use_pallas and jax.default_backend() in ("tpu", "axon"):
-        from rvio_tpu.ops.tile_gather import gather_tiles_pallas
-        return lambda img, o, tile: gather_tiles_pallas(img, o, tile=tile)
-    return _gather_tiles
+        from rvio_tpu.ops.tile_gather import gather_tiles_narrow_pallas
+
+        def g(img, origin):
+            H, W = img.shape
+            # the kernel DMAs 256-wide bands: pad so every band fits
+            wpad = max(W, (max(W - TILE, 0) // 128) * 128 + 256)
+            hpad = max(TILE_H, -(-H // 8) * 8)
+            o = _align_origins(origin, H, W)   # same geometry as XLA path
+            if wpad > W or hpad > H:
+                img = jnp.pad(img, ((0, hpad - H), (0, wpad - W)))
+            tiles = gather_tiles_narrow_pallas(img, o, th=TILE_H, tw=TILE)
+            return tiles, o
+
+        return g
+
+    def g(img, origin):
+        H, W = img.shape
+        o = _align_origins(origin, H, W)
+        return _gather_tiles(img, o, TILE_H, TILE), o
+
+    return g
 
 
 def _tap_indices(local: jnp.ndarray, win: int, tile: int):
@@ -72,15 +110,14 @@ def _tap_indices(local: jnp.ndarray, win: int, tile: int):
 
 def _sample_patches(tiles: jnp.ndarray, loc_y: jnp.ndarray,
                     loc_x: jnp.ndarray, win: int) -> jnp.ndarray:
-    """(N,T,T) tiles sampled at fractional centers -> (N,win,win).
+    """(N,TH,TW) tiles sampled at fractional centers -> (N,win,win).
 
     Separable bilinear via two 2-tap gathers + lerps: batched tiny matmuls
     lower to per-element MXU calls on TPU, while take_along_axis stays one
     fused gather — ~100x cheaper inside the sequential LK iteration.
     """
-    T = tiles.shape[-1]
-    fy, wy = _tap_indices(loc_y, win, T)
-    fx, wx = _tap_indices(loc_x, win, T)
+    fy, wy = _tap_indices(loc_y, win, tiles.shape[-2])
+    fx, wx = _tap_indices(loc_x, win, tiles.shape[-1])
     r0 = jnp.take_along_axis(tiles, fy[:, :, None], axis=1)
     r1 = jnp.take_along_axis(tiles, (fy + 1)[:, :, None], axis=1)
     rows = r0 * (1 - wy)[:, :, None] + r1 * wy[:, :, None]     # (N, win, T)
@@ -119,12 +156,12 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
         p_lvl = pts / (2.0 ** lvl)
 
         # --- template tiles (gathered once) ---
-        o0 = (jnp.round(p_lvl).astype(jnp.int32) - TILE // 2)
-        o0 = jnp.stack([jnp.clip(o0[:, 0], 0, max(W - TILE, 0)),
-                        jnp.clip(o0[:, 1], 0, max(H - TILE, 0))], axis=1)
-        t_img = gather(prev_img, o0, TILE)
-        t_gx = gather(gx_img, o0, TILE)
-        t_gy = gather(gy_img, o0, TILE)
+        o0i = jnp.stack([jnp.round(p_lvl[:, 0]).astype(jnp.int32) - TILE // 2,
+                         jnp.round(p_lvl[:, 1]).astype(jnp.int32) - TILE_H // 2],
+                        axis=1)
+        t_img, o0 = gather(prev_img, o0i)
+        t_gx, _ = gather(gx_img, o0i)
+        t_gy, _ = gather(gy_img, o0i)
 
         loc0 = p_lvl - o0.astype(dtype)
         tmpl = _sample_patches(t_img, loc0[:, 1], loc0[:, 0], win)
@@ -151,10 +188,10 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
         status = status & ok_level & inb
 
         # --- search tiles in the next image (gathered once per level) ---
-        o1 = (jnp.round(guess).astype(jnp.int32) - TILE // 2)
-        o1 = jnp.stack([jnp.clip(o1[:, 0], 0, max(W - TILE, 0)),
-                        jnp.clip(o1[:, 1], 0, max(H - TILE, 0))], axis=1)
-        n_tiles = gather(next_img, o1, TILE)
+        o1i = jnp.stack([jnp.round(guess[:, 0]).astype(jnp.int32) - TILE // 2,
+                         jnp.round(guess[:, 1]).astype(jnp.int32) - TILE_H // 2],
+                        axis=1)
+        n_tiles, o1 = gather(next_img, o1i)
         o1f = o1.astype(dtype)
         margin_lo = float(r)
         margin_hi = float(TILE - r - 2)
@@ -168,10 +205,11 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
             d = jnp.abs(g - g_init)
             alive = alive & (d[:, 0] <= wander) & (d[:, 1] <= wander)
             loc = g - o1f
-            # clamp only to the tile itself; the banded weights edge-replicate
+            # clamp only to the tile itself; the 2-tap weights edge-replicate
             # beyond it (mirrors bilinear_sample's border clamping)
-            locc = jnp.clip(loc, 0.0, float(TILE - 1))
-            cur = _sample_patches(n_tiles, locc[:, 1], locc[:, 0], win)
+            locy = jnp.clip(loc[:, 1], 0.0, float(n_tiles.shape[1] - 1))
+            locx = jnp.clip(loc[:, 0], 0.0, float(n_tiles.shape[2] - 1))
+            cur = _sample_patches(n_tiles, locy, locx, win)
             di = cur - tmpl
             bx = jnp.sum(di * gx, axis=(1, 2))
             by = jnp.sum(di * gy, axis=(1, 2))
@@ -197,8 +235,13 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
             inb2 = ((guess[:, 0] > rb) & (guess[:, 0] < W - rb - 1)
                     & (guess[:, 1] > rb) & (guess[:, 1] < H - rb - 1))
             status = status & inb2
-            loc = jnp.clip(guess - o1f, 0.0, float(TILE - 1))
-            cur = _sample_patches(n_tiles, loc[:, 1], loc[:, 0], win)
+            loc = guess - o1f
+            cur = _sample_patches(n_tiles,
+                                  jnp.clip(loc[:, 1], 0.0,
+                                           float(n_tiles.shape[1] - 1)),
+                                  jnp.clip(loc[:, 0], 0.0,
+                                           float(n_tiles.shape[2] - 1)),
+                                  win)
             err = jnp.mean(jnp.abs(cur - tmpl), axis=(1, 2))
 
     return guess, status, err

@@ -85,7 +85,8 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
         resp = shi_tomasi_response(img)
         pts, valid = grid_top_corners(resp, spacing, N,
                                       cfg.tracker.quality_level)
-        pts = corner_subpix(img, pts, win=int(min_dist) // 2)
+        pts = corner_subpix(img, pts, win=int(min_dist) // 2,
+                            use_pallas=cfg.tpu.use_pallas)
         return pts, valid
 
     @jax.jit

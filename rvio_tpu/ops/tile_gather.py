@@ -24,13 +24,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _gather_kernel(orig_ref, img_ref, out_ref, sems):
     n = out_ref.shape[0]
-    tile = out_ref.shape[1]
+    th = out_ref.shape[1]
+    tw = out_ref.shape[2]
 
     def dma(i, slot):
-        oy = orig_ref[i, 1]
-        ox = orig_ref[i, 0]
+        # offsets must be provably aligned to the (8, 128) memref tiling;
+        # callers pre-align and the multiple_of hints let Mosaic verify
+        oy = pl.multiple_of((orig_ref[i, 1] // 8) * 8, 8)
+        ox = pl.multiple_of((orig_ref[i, 0] // 128) * 128, 128)
         return pltpu.make_async_copy(
-            img_ref.at[pl.ds(oy, tile), pl.ds(ox, tile)],
+            img_ref.at[pl.ds(oy, th), pl.ds(ox, tw)],
             out_ref.at[i],
             sems.at[slot],
         )
@@ -49,28 +52,105 @@ def _gather_kernel(orig_ref, img_ref, out_ref, sems):
     jax.lax.fori_loop(0, n, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def gather_tiles_pallas(img: jnp.ndarray, origin: jnp.ndarray,
-                        tile: int = 32, interpret: bool = False
-                        ) -> jnp.ndarray:
-    """(H, W) image + (N, 2) integer (x, y) origins -> (N, tile, tile).
+def _gather_narrow_kernel(orig_ref, img_ref, out_ref, band, sems):
+    """Wide-band DMA + in-VMEM lane roll -> narrow aligned tiles.
 
-    Origins are clamped to keep every tile in-bounds, matching the XLA
-    fallback's semantics.
+    Each feature: DMA a (th, 256) 128-aligned band into VMEM scratch, roll
+    it left by the unaligned lane residual, and write the leading (th, tw)
+    window out — arbitrary-offset tiles without violating the (8, 128)
+    slice-alignment rules.
+    """
+    n = out_ref.shape[0]
+    th = out_ref.shape[1]
+    tw = out_ref.shape[2]
+
+    def dma(i, slot):
+        oy = pl.multiple_of((orig_ref[i, 1] // 8) * 8, 8)
+        ox = pl.multiple_of((orig_ref[i, 0] // 128) * 128, 128)
+        return pltpu.make_async_copy(
+            img_ref.at[pl.ds(oy, th), pl.ds(ox, 256)],
+            band.at[slot],
+            sems.at[slot],
+        )
+
+    dma(0, 0).start()
+
+    def body(i, _):
+        @pl.when(i + 1 < n)
+        def _():
+            dma(i + 1, (i + 1) % 2).start()
+
+        slot = i % 2
+        dma(i, slot).wait()
+        shift = orig_ref[i, 0] % 128
+        rolled = pltpu.roll(band[slot], -shift, 1)
+        out_ref[i] = rolled[:, :tw]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
+def gather_tiles_pallas(img: jnp.ndarray, origin: jnp.ndarray,
+                        th: int = 40, tw: int = 256,
+                        interpret: bool = False) -> jnp.ndarray:
+    """(H, W) image + (N, 2) integer (x, y) origins -> (N, th, tw).
+
+    Offsets must satisfy the TPU (8, 128)-tiling: row origins are aligned
+    down to 8, column origins down to 128; the caller must size ``tw`` so
+    the window still fits and fold the alignment residuals into fractional
+    sampling.  Requires W >= floor((x_max)/128)*128 + tw (pad the image).
+    Tiles land in HBM (pure HBM->HBM DMA), so large tw is fine.
     """
     H, W = img.shape
     N = origin.shape[0]
-    oc = jnp.stack([jnp.clip(origin[:, 0], 0, max(W - tile, 0)),
-                    jnp.clip(origin[:, 1], 0, max(H - tile, 0))], axis=1)
+    oc = jnp.stack([(jnp.clip(origin[:, 0], 0, max(W - tw, 0)) // 128) * 128,
+                    (jnp.clip(origin[:, 1], 0, max(H - th, 0)) // 8) * 8],
+                   axis=1)
     return pl.pallas_call(
         _gather_kernel,
-        out_shape=jax.ShapeDtypeStruct((N, tile, tile), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, th, tw), img.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(oc.astype(jnp.int32), img)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
+def gather_tiles_narrow_pallas(img: jnp.ndarray, origin: jnp.ndarray,
+                               th: int = 40, tw: int = 32,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Arbitrary-column-offset narrow tiles via wide DMA + in-VMEM lane roll.
+
+    Row origins align down to 8 (caller folds the residual); column origins
+    are exact.  Requires image W >= floor(x_max/128)*128 + 256 (pad first).
+    """
+    H, W = img.shape
+    N = origin.shape[0]
+    # x bound: the window (tw) must fit AND the 128-aligned 256-wide DMA
+    # band must fit: floor(ox/128)*128 + 256 <= W  <=>  ox <= band_max.
+    band_max = ((max(W - 256, 0)) // 128) * 128 + 127
+    x_max = min(max(W - tw, 0), band_max)
+    oc = jnp.stack([jnp.clip(origin[:, 0], 0, x_max),
+                    (jnp.clip(origin[:, 1], 0, max(H - th, 0)) // 8) * 8],
+                   axis=1)
+    return pl.pallas_call(
+        _gather_narrow_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, th, tw), img.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((2, th, 256), img.dtype),
+                            pltpu.SemaphoreType.DMA((2,))],
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(oc.astype(jnp.int32), img)
