@@ -81,6 +81,17 @@ def build_bundles(cfg, sim, dtype):
 def main():
     compression = os.environ.get("BENCH_COMPRESSION", "qr")
     cfg = RVIOConfig()  # EuRoC operating point
+    # High-rate stress config (BASELINE.json): BENCH_FEATURES=800
+    # BENCH_KLT_LEVELS=4 for the 4x-budget + deeper-pyramid sweep.
+    n_feat = int(os.environ.get("BENCH_FEATURES", "0"))
+    klt_lvl = int(os.environ.get("BENCH_KLT_LEVELS", "0"))
+    if n_feat or klt_lvl:
+        import dataclasses
+        trk = dataclasses.replace(
+            cfg.tracker,
+            **({"num_features": n_feat} if n_feat else {}),
+            **({"klt_levels": klt_lvl} if klt_lvl else {}))
+        cfg = cfg.replace(tracker=trk)
     cfg = cfg.replace(tpu=cfg.tpu.__class__(compression=compression))
     dtype = jnp.float32
     duration = float(os.environ.get("BENCH_DURATION_S", "60"))
@@ -137,6 +148,29 @@ def main():
         times_b.append(time.perf_counter() - t0)
     fps_batched = B * n_frames / min(times_b)
 
+    # Full image front-end on rendered frames (tracker: CLAHE + pyramid +
+    # KLT + RANSAC + detection/lifecycle), unless disabled for speed.
+    frontend_fps = None
+    if os.environ.get("BENCH_FRONTEND", "1") == "1":
+        from rvio_tpu.dataio.synthetic import render_frame
+        from rvio_tpu.frontend.tracker import make_tracker
+        init_fn, track_fn = make_tracker(cfg, dtype)
+        img1 = jnp.asarray(render_frame(cfg, sim, idx0 + 5), dtype)
+        img2 = jnp.asarray(render_frame(cfg, sim, idx0 + 6), dtype)
+        ts0, _ = init_fn(img1)
+        K = cfg.tpu.imu_block
+        wj = jnp.zeros((K, 3), dtype)
+        dj = jnp.full((K,), 1.0 / cfg.imu.rate_hz, dtype)
+        vj = jnp.arange(K) < 10
+        key = jax.random.key(0)
+        o = track_fn(ts0, img2, wj, dj, vj, key)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            o = track_fn(ts0, img2, wj, dj, vj, key)
+        jax.block_until_ready(o)
+        frontend_fps = 10 / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "filter_frames_per_sec_per_chip",
         "value": round(fps, 1),
@@ -149,9 +183,10 @@ def main():
         "n_good_mean": round(float(np.asarray(out["n_good"]).mean()), 1),
         "batched_fps": round(fps_batched, 1),
         "batch": B,
+        "frontend_fps": round(frontend_fps, 1) if frontend_fps else None,
         "compression": compression,
         "device": str(jax.devices()[0]).replace(" ", "_"),
-        "config": "euroc_200feat_window15",
+        "config": f"euroc_{cfg.tracker.num_features}feat_window{cfg.tracker.max_tracking_length}",
     }))
 
 

@@ -1,0 +1,74 @@
+"""EuRoC-path integration test: ASL directory -> image pipeline -> ATE.
+
+Synthesizes a miniature EuRoC dataset on disk (rendered PNG frames + IMU and
+ground-truth CSVs in the ASL layout) and replays it through the production
+dataset path — loader, (native or python) PNG decode, threaded prefetch,
+tracker, filter — proving a reference user's workflow works end to end
+without ROS.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvio_tpu.config import (RVIOConfig, ImuConfig, CameraConfig,
+                             TrackerConfig, TpuConfig)
+from rvio_tpu.dataio.euroc import load_euroc
+from rvio_tpu.dataio.png import write_png_gray
+from rvio_tpu.dataio.synthetic import simulate_sequence, render_frame
+from rvio_tpu.eval.ate import ate_rmse
+from rvio_tpu.runtime.image_driver import run_euroc_sequence
+
+
+@pytest.mark.slow
+def test_euroc_directory_replay(tmp_path):
+    cfg = RVIOConfig(
+        imu=ImuConfig(rate_hz=100.0),
+        camera=CameraConfig(fps=10.0, width=320, height=240, fx=200.0,
+                            fy=200.0, cx=160.0, cy=120.0, k1=-0.05, k2=0.01,
+                            p1=0.0, p2=0.0),
+        tracker=TrackerConfig(num_features=48, max_tracking_length=8,
+                              min_tracking_length=3, min_distance=12.0,
+                              block_size_x=80, block_size_y=60),
+        tpu=TpuConfig(imu_block=16))
+    sim = simulate_sequence(cfg, duration=8.0, static_time=1.0, ramp_time=1.5,
+                            seed=9, n_landmarks=400, motion_scale=0.5)
+
+    # --- write the ASL layout ---
+    mav = tmp_path / "mav0"
+    (mav / "imu0").mkdir(parents=True)
+    (mav / "cam0" / "data").mkdir(parents=True)
+    (mav / "state_groundtruth_estimate0").mkdir(parents=True)
+    t0_ns = 1_400_000_000_000_000_000
+    with open(mav / "imu0" / "data.csv", "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for t, w, a in zip(sim.imu_t, sim.imu_w, sim.imu_a):
+            f.write(f"{t0_ns + int(t * 1e9)},{w[0]},{w[1]},{w[2]},"
+                    f"{a[0]},{a[1]},{a[2]}\n")
+    with open(mav / "cam0" / "data.csv", "w") as f:
+        f.write("#timestamp [ns],filename\n")
+        for k, t in enumerate(sim.frame_t):
+            ts = t0_ns + int(t * 1e9)
+            f.write(f"{ts},{ts}.png\n")
+            img = np.clip(render_frame(cfg, sim, k), 0, 255).astype(np.uint8)
+            write_png_gray(str(mav / "cam0" / "data" / f"{ts}.png"), img)
+    with open(mav / "state_groundtruth_estimate0" / "data.csv", "w") as f:
+        f.write("#timestamp,px,py,pz,qw,qx,qy,qz\n")
+        for k, t in enumerate(sim.frame_t):
+            p = sim.gt_p[k]
+            f.write(f"{t0_ns + int(t * 1e9)},{p[0]},{p[1]},{p[2]},1,0,0,0\n")
+
+    # --- replay through the production path ---
+    seq = load_euroc(str(tmp_path))
+    assert len(seq.cam_files) == len(sim.frame_t)
+    res = run_euroc_sequence(cfg, seq, dtype=jnp.float64)
+    assert len(res.timestamps) > 40
+
+    gi = np.clip(np.searchsorted(seq.gt_t, res.timestamps), 0,
+                 len(seq.gt_t) - 1)
+    ate = ate_rmse(res.positions, seq.gt_p[gi])
+    span = np.linalg.norm(seq.gt_p.max(0) - seq.gt_p.min(0))
+    assert span > 0.4
+    assert ate < 0.25, f"EuRoC-path ATE {ate:.3f} m over {span:.2f} m span"
