@@ -185,11 +185,30 @@ def _lm_triangulate(z, Rc, tc, track_len, sigma_im, L):
         HTe = rinv * jnp.einsum("lab,la->b", H_m, e_m)
         return cost, HTH, HTe
 
+    def _solve3(A, b):
+        """Closed-form 3x3 solve (Cramer/adjugate) — batched LU is a
+        sequential LAPACK-style loop on TPU, this is pure elementwise."""
+        c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
+        c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
+        c02 = A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]
+        det = A[0, 0] * c00 + A[0, 1] * c01 + A[0, 2] * c02
+        dets = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        x0 = (c00 * b[0]
+              + (A[0, 2] * A[2, 1] - A[0, 1] * A[2, 2]) * b[1]
+              + (A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]) * b[2]) / dets
+        x1 = (c01 * b[0]
+              + (A[0, 0] * A[2, 2] - A[0, 2] * A[2, 0]) * b[1]
+              + (A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]) * b[2]) / dets
+        x2 = (c02 * b[0]
+              + (A[0, 1] * A[2, 0] - A[0, 0] * A[2, 1]) * b[1]
+              + (A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]) * b[2]) / dets
+        return jnp.stack([x0, x1, x2])
+
     def body(s: _LMState, _):
         cost, HTH, HTe = cost_and_normal(s.phi, s.psi, s.rho)
         down = cost <= s.last_cost
         A = HTH + s.lam * jnp.diag(jnp.diag(HTH))
-        dp = jnp.linalg.solve(A + 1e-30 * jnp.eye(3, dtype=A.dtype), HTe)
+        dp = _solve3(A, HTe)
         dp = jnp.where(jnp.isfinite(dp), dp, 0.0)
         take = down & ~s.done
         phi = jnp.where(take, s.phi + dp[0], s.phi)

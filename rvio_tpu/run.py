@@ -31,6 +31,8 @@ def main(argv=None):
                     help="EuRoC sequence dir (contains mav0/)")
     ap.add_argument("--synthetic", type=float, default=None, metavar="SECONDS",
                     help="run the simulator for SECONDS instead of a dataset")
+    ap.add_argument("--sweep", type=int, default=None, metavar="N",
+                    help="run an N-seed synthetic accuracy/throughput sweep")
     ap.add_argument("--skip", type=float, default=0.0,
                     help="seconds of data to skip (MH_* needs ~40)")
     ap.add_argument("--output", default="out",
@@ -61,6 +63,14 @@ def main(argv=None):
     cfg = load_config(args.config) if args.config else RVIOConfig()
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
     os.makedirs(args.output, exist_ok=True)
+
+    if args.sweep is not None:
+        from rvio_tpu.eval.sweep import run_synthetic_sweep, format_table
+        rows = run_synthetic_sweep(cfg, seeds=range(args.sweep),
+                                   dtype=dtype, noise=args.noise,
+                                   progress=True)
+        print(format_table(rows))
+        return 0
 
     if args.synthetic is not None:
         from rvio_tpu.dataio.synthetic import simulate_sequence
