@@ -137,7 +137,8 @@ class TpuConfig:
     """TPU-native compile-time knobs (no reference equivalent — new design)."""
 
     dtype: str = "float32"            # compute dtype for the filter
-    imu_block: int = 24               # padded IMU samples per frame (~10 real @200/20Hz)
+    imu_block: int = 16               # padded IMU samples per frame (<=11 real @200/20Hz;
+                                      # the unrolled propagation scan scales with this)
     use_pallas: bool = True           # Pallas kernels for hot image ops (else XLA)
     compression: str = "qr"           # measurement compression: "qr" | "cholesky"
     donate_state: bool = True         # donate state buffers through the jitted step

@@ -162,3 +162,17 @@ class TestCheckpoint:
             st_r, out_r = step(st_r, bk)
             np.testing.assert_allclose(np.asarray(out_c["p_Gk"]),
                                        np.asarray(out_r["p_Gk"]), atol=0)
+
+
+class TestSweep:
+    def test_synthetic_sweep_runs(self):
+        from rvio_tpu.eval.sweep import run_synthetic_sweep, format_table
+        import jax.numpy as jnp
+        cfg = small_cfg()
+        rows = run_synthetic_sweep(cfg, seeds=(0,), duration=10.0,
+                                   dtype=jnp.float64, noise=False)
+        assert len(rows) == 1
+        assert rows[0].frames > 40
+        assert rows[0].ate_m < 0.3
+        table = format_table(rows)
+        assert "synthetic_seed0" in table and "mean" in table
