@@ -20,8 +20,8 @@ Can also render simple textured images for front-end (KLT) testing.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List
 
 import numpy as np
 

@@ -9,7 +9,6 @@ batched on one chip (vmapped segment filters) for throughput.
 
 from __future__ import annotations
 
-import json
 import time
 from dataclasses import dataclass
 from typing import List, Optional

@@ -17,14 +17,13 @@ cv::cornerSubPix pair it wraps:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rvio_tpu.frontend.image import sobel_gradients, bilinear_sample, _conv2
+from rvio_tpu.frontend.image import sobel_gradients, _conv2
 
 
 def shi_tomasi_response(img: jnp.ndarray, block: int = 3) -> jnp.ndarray:

@@ -11,7 +11,6 @@ annotate shardings, let XLA place collectives.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ warm-handoff segment parallelism and fault recovery.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ import time
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

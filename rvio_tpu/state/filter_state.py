@@ -30,7 +30,6 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from rvio_tpu.core.quaternion import rot_to_quat
 from rvio_tpu.core.so3 import skew
