@@ -139,7 +139,10 @@ class TpuConfig:
     imu_block: int = 16               # padded IMU samples per frame (<=11 real @200/20Hz;
                                       # the unrolled propagation scan scales with this)
     use_pallas: bool = True           # Pallas kernels for hot image ops (else XLA)
-    compression: str = "qr"           # measurement compression: "qr" | "cholesky"
+    # Measurement compression: "cholesky" (Gram/information form — pure
+    # MXU, fastest, tiny structural ridge) or "qr" (exact thin QR; known to
+    # fault the TPU runtime at very large stacked sizes, e.g. 800 features).
+    compression: str = "cholesky"
     donate_state: bool = True         # donate state buffers through the jitted step
 
 

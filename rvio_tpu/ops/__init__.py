@@ -5,6 +5,7 @@ Dispatch policy: each op has a pure-XLA reference implementation in
 (and automatically falls back off-TPU or in interpret-mode tests).
 """
 
-from rvio_tpu.ops.tile_gather import gather_tiles_pallas
+from rvio_tpu.ops.tile_gather import (gather_tiles_pallas,
+                                      gather_tiles_narrow_pallas)
 
-__all__ = ["gather_tiles_pallas"]
+__all__ = ["gather_tiles_pallas", "gather_tiles_narrow_pallas"]
