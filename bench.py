@@ -79,7 +79,7 @@ def build_bundles(cfg, sim, dtype):
 
 
 def main():
-    compression = os.environ.get("BENCH_COMPRESSION", "qr")
+    compression = os.environ.get("BENCH_COMPRESSION", "cholesky")
     cfg = RVIOConfig()  # EuRoC operating point
     # High-rate stress config (BASELINE.json): BENCH_FEATURES=800
     # BENCH_KLT_LEVELS=4 for the 4x-budget + deeper-pyramid sweep.

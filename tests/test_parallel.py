@@ -176,3 +176,12 @@ class TestSweep:
         assert rows[0].ate_m < 0.3
         table = format_table(rows)
         assert "synthetic_seed0" in table and "mean" in table
+
+
+class TestLaunchHelpers:
+    def test_single_process_noop_and_slices(self):
+        from rvio_tpu.parallel.launch import (initialize_distributed,
+                                              host_segment_slice)
+        initialize_distributed(num_processes=1)   # no-op path
+        lo, hi = host_segment_slice(10)
+        assert (lo, hi) == (0, 10)                # single host owns all
