@@ -23,16 +23,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rvio_tpu.frontend.image import sobel_gradients, _conv2
+from rvio_tpu.frontend.image import sobel_gradients, box_filter
 
 
 def shi_tomasi_response(img: jnp.ndarray, block: int = 3) -> jnp.ndarray:
-    """Min-eigenvalue corner response (cv::cornerMinEigenVal semantics)."""
+    """Min-eigenvalue corner response (cv::cornerMinEigenVal semantics).
+
+    The block sum runs as a separable shift-add (box_filter): a 1-channel
+    conv_general_dilated pads channels to the MXU tile on TPU and is ~ms
+    slow, the shift-add is tens of us.
+    """
     ix, iy = sobel_gradients(img)
-    k = np.ones((block, block), np.float32)
-    sxx = _conv2(ix * ix, k)
-    sxy = _conv2(ix * iy, k)
-    syy = _conv2(iy * iy, k)
+    sxx = box_filter(ix * ix, block)
+    sxy = box_filter(ix * iy, block)
+    syy = box_filter(iy * iy, block)
     tr = sxx + syy
     det = sxx * syy - sxy * sxy
     disc = jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))
@@ -142,14 +146,15 @@ def corner_subpix(img: jnp.ndarray, pts: jnp.ndarray, win: int = 7,
     ylim = float(tiles.shape[1] - 1)
     xlim = float(tiles.shape[2] - 1)
 
-    def sample(c, dx_off, dy_off):
-        locy = jnp.clip(c[:, 1] - of[:, 1] + dy_off, 0.0, ylim)
-        locx = jnp.clip(c[:, 0] - of[:, 0] + dx_off, 0.0, xlim)
-        return _sample_patches(tiles, locy, locx, size)
-
     def body(it, c):
-        gx = (sample(c, 1.0, 0.0) - sample(c, -1.0, 0.0)) * 0.5
-        gy = (sample(c, 0.0, 1.0) - sample(c, 0.0, -1.0)) * 0.5
+        # one (size+2)^2 patch per iteration; central differences are just
+        # shifted slices of it (bilinear sampling commutes with the shift),
+        # replacing 4 separate patch resamples.
+        locy = jnp.clip(c[:, 1] - of[:, 1], 0.0, ylim)
+        locx = jnp.clip(c[:, 0] - of[:, 0], 0.0, xlim)
+        p = _sample_patches(tiles, locy, locx, size + 2)
+        gx = (p[:, 1:-1, 2:] - p[:, 1:-1, :-2]) * 0.5
+        gy = (p[:, 2:, 1:-1] - p[:, :-2, 1:-1]) * 0.5
         gxx = jnp.sum(wmask * gx * gx, axis=(1, 2))
         gxy = jnp.sum(wmask * gx * gy, axis=(1, 2))
         gyy = jnp.sum(wmask * gy * gy, axis=(1, 2))

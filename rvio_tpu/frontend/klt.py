@@ -93,37 +93,58 @@ def _tile_gather_dispatch(use_pallas: bool):
     return g
 
 
-def _tap_indices(local: jnp.ndarray, win: int, tile: int):
-    """2-tap bilinear sampling indices/weights along one axis.
+def _window_indices(local: jnp.ndarray, win: int, tile: int):
+    """Contiguous tap window start indices along one axis.
 
-    local: (N,) fractional coordinate of the patch center within the tile.
-    Row i interpolates position local - win//2 + i.  Returns (f, frac) with
-    f clipped to [0, tile-2] (edge replication beyond the tile).
+    Because the patch grid is unit-spaced, floor(local - r + i) =
+    floor(local) - r + i: every tap shares the same fractional weight and
+    the integer taps are consecutive.  Returns (idx (N, win), frac (N,))
+    with idx clipped to [0, tile-2] (edge replication beyond the tile).
     """
     r = win // 2
-    pos = local[:, None] + (jnp.arange(win, dtype=local.dtype) - r)[None, :]
-    f = jnp.floor(pos)
-    frac = (pos - f).astype(local.dtype)
-    f = jnp.clip(f.astype(jnp.int32), 0, tile - 2)
-    return f, frac
+    f = jnp.floor(local)
+    frac = (local - f).astype(local.dtype)
+    idx = f.astype(jnp.int32)[:, None] + (jnp.arange(win) - r)[None, :]
+    return jnp.clip(idx, 0, tile - 2), frac
 
 
 def _sample_patches(tiles: jnp.ndarray, loc_y: jnp.ndarray,
                     loc_x: jnp.ndarray, win: int) -> jnp.ndarray:
     """(N,TH,TW) tiles sampled at fractional centers -> (N,win,win).
 
-    Separable bilinear via two 2-tap gathers + lerps: batched tiny matmuls
-    lower to per-element MXU calls on TPU, while take_along_axis stays one
-    fused gather — ~100x cheaper inside the sequential LK iteration.
+    Separable bilinear with the constant-fraction trick: the 2-tap lerp
+    weight is identical for every row/column of the patch, so the blend is
+    one elementwise pass over the whole tile and the per-tap gather becomes
+    a single contiguous-window take_along_axis per axis (2 gathers total,
+    the only dynamic ops in the LK iteration).
     """
-    fy, wy = _tap_indices(loc_y, win, tiles.shape[-2])
-    fx, wx = _tap_indices(loc_x, win, tiles.shape[-1])
-    r0 = jnp.take_along_axis(tiles, fy[:, :, None], axis=1)
-    r1 = jnp.take_along_axis(tiles, (fy + 1)[:, :, None], axis=1)
-    rows = r0 * (1 - wy)[:, :, None] + r1 * wy[:, :, None]     # (N, win, T)
-    c0 = jnp.take_along_axis(rows, fx[:, None, :], axis=2)
-    c1 = jnp.take_along_axis(rows, (fx + 1)[:, None, :], axis=2)
-    return c0 * (1 - wx)[:, None, :] + c1 * wx[:, None, :]
+    fy, wy = _window_indices(loc_y, win, tiles.shape[-2])
+    fx, wx = _window_indices(loc_x, win, tiles.shape[-1])
+    rows_b = (tiles[:, :-1, :] * (1 - wy)[:, None, None]
+              + tiles[:, 1:, :] * wy[:, None, None])           # (N, TH-1, TW)
+    rows = jnp.take_along_axis(rows_b, fy[:, :, None], axis=1)  # (N, win, TW)
+    cols_b = (rows[:, :, :-1] * (1 - wx)[:, None, None]
+              + rows[:, :, 1:] * wx[:, None, None])
+    return jnp.take_along_axis(cols_b, fx[:, None, :], axis=2)
+
+
+def _tile_scharr(tiles: jnp.ndarray):
+    """Scharr gradients computed on gathered tiles (no full-image pass).
+
+    Bitwise-matches frontend.image.scharr_gradients at every location the
+    LK window can sample: patch taps stay >= 1 px inside the tile for
+    unclamped origins, and for origin-clamped (image-border) features the
+    tile edge IS the image edge, where the reflect pad reproduces the
+    full-image filter's reflect border.
+    """
+    p = jnp.pad(tiles, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    a = jnp.asarray(3 / 32, tiles.dtype)
+    b = jnp.asarray(10 / 32, tiles.dtype)
+    sy = a * p[:, :-2, :] + b * p[:, 1:-1, :] + a * p[:, 2:, :]
+    gx = sy[:, :, 2:] - sy[:, :, :-2]
+    dy = p[:, 2:, :] - p[:, :-2, :]
+    gy = a * dy[:, :, :-2] + b * dy[:, :, 1:-1] + a * dy[:, :, 2:]
+    return gx, gy
 
 
 def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
@@ -151,17 +172,15 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
     for lvl in range(levels, -1, -1):
         prev_img = prev_pyr[lvl]
         next_img = next_pyr[lvl]
-        gx_img, gy_img = scharr_gradients(prev_img)
         H, W = prev_img.shape
         p_lvl = pts / (2.0 ** lvl)
 
-        # --- template tiles (gathered once) ---
+        # --- template tiles (one gather; gradients computed on-tile) ---
         o0i = jnp.stack([jnp.round(p_lvl[:, 0]).astype(jnp.int32) - TILE // 2,
                          jnp.round(p_lvl[:, 1]).astype(jnp.int32) - TILE_H // 2],
                         axis=1)
         t_img, o0 = gather(prev_img, o0i)
-        t_gx, _ = gather(gx_img, o0i)
-        t_gy, _ = gather(gy_img, o0i)
+        t_gx, t_gy = _tile_scharr(t_img)
 
         loc0 = p_lvl - o0.astype(dtype)
         tmpl = _sample_patches(t_img, loc0[:, 1], loc0[:, 0], win)
@@ -198,8 +217,8 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
         g_init = guess  # level-entry guess: wandering is measured from here
         wander = float(TILE - win) / 2.0 - 1.0
 
-        def body(it, carry):
-            g, conv, alive = carry
+        def body(carry):
+            it, g, conv, alive = carry
             # kill only genuinely wandering tracks — border features whose
             # tile origin was clamped must keep their clamp-sampled patch
             d = jnp.abs(g - g_init)
@@ -219,14 +238,18 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
             take = (~conv & alive)[:, None]
             g_new = jnp.where(take, g + step, g)
             conv_new = conv | (jnp.sum(step * step, axis=-1) < eps * eps)
-            return g_new, conv_new, alive
+            return it + 1, g_new, conv_new, alive
 
-        # Fixed-trip masked loop: per-iteration work is ~us-scale batched
-        # matmuls, while_loop sync costs ~300us/iteration on TPU — running
-        # all iterations masked is ~100x cheaper than "early exit".
+        def cond(carry):
+            it, g, conv, alive = carry
+            # exact early exit: a converged/dead lane's remaining trips are
+            # no-ops (take=False freezes g), so stopping when none are live
+            # is bitwise-identical to the fixed-trip loop
+            return (it < max_iters) & jnp.any(~conv & alive & status)
+
         conv0 = jnp.zeros(N, bool)
-        guess, _, alive = jax.lax.fori_loop(
-            0, max_iters, body, (guess, conv0, status))
+        _, guess, _, alive = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), guess, conv0, status))
         status = status & alive
 
         if lvl > 0:
