@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rvio_tpu.config import RVIOConfig
-from rvio_tpu.filter.propagation import make_imu_block
+from rvio_tpu.filter.propagation import ImuBlock, make_imu_block
 from rvio_tpu.frontend.tracker import make_tracker
 from rvio_tpu.runtime.driver import (DriverResult, InitializationGate,
                                      bundle_imu)
@@ -47,16 +47,20 @@ class ImagePipeline:
             if self.filter_state is None:
                 return None
 
-        img = jnp.asarray(image, self.dtype)
+        # transfer the image in its native dtype (uint8 for real footage —
+        # 4x less host->device traffic); the tracker casts on device
+        img = jnp.asarray(image)
         K = cfg.tpu.imu_block
         n = min(len(imu_w), K)
-        wj = jnp.zeros((K, 3), self.dtype).at[:n].set(
-            jnp.asarray(imu_w[:n], self.dtype))
-        aj = jnp.zeros((K, 3), self.dtype).at[:n].set(
-            jnp.asarray(imu_a[:n], self.dtype))
-        dj = jnp.zeros((K,), self.dtype).at[:n].set(
-            jnp.asarray(imu_dts[:n], self.dtype))
-        vj = jnp.arange(K) < n
+        # pad on host, transfer once (device .at[].set would be 3 extra
+        # round-trips per frame)
+        wn = np.zeros((K, 3), np.float64); wn[:n] = imu_w[:n]
+        an = np.zeros((K, 3), np.float64); an[:n] = imu_a[:n]
+        dn = np.zeros((K,), np.float64); dn[:n] = imu_dts[:n]
+        wj = jnp.asarray(wn, self.dtype)
+        aj = jnp.asarray(an, self.dtype)
+        dj = jnp.asarray(dn, self.dtype)
+        vj = jnp.asarray(np.arange(K) < n)
 
         if self.tracker_state is None:
             self.tracker_state, _ = self.init_fn(img)
@@ -71,6 +75,153 @@ class ImagePipeline:
         self.filter_state, out = self.step(
             self.filter_state, FrameBundle(imu=imu, batch=batch))
         return out
+
+
+def make_image_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
+    """Fused tracker+filter scan over a chunk of frames — ONE dispatch.
+
+    The per-frame host loop pays a device-dispatch + synchronization cost
+    per frame (several ms through a remote-TPU tunnel); scanning a chunk of
+    B frames on-device amortizes it B-fold and lets the host decode/prefetch
+    the next chunk concurrently.  This is the TPU-native streaming shape of
+    the reference's per-image callback chain (rvio_mono.cc:54-79).
+
+    Returns ``scan(carry, chunk) -> (carry, outputs)`` (jitted, carry
+    donated) with
+
+    - carry = (TrackerState, FilterState, rng key),
+    - chunk = dict of stacked arrays: image (B,H,W), imu_w (B,K,3),
+      imu_a (B,K,3), imu_dt (B,K), imu_valid (B,K), ok (B,) — ``ok=False``
+      frames (e.g. <2 IMU samples, InputBuffer.cc:75-76 semantics) leave the
+      carry untouched, like the reference skipping the frame,
+    - outputs = per-frame {q_kG, p_Gk, v_k, n_good, ok} stacked over B.
+    """
+    _, track_fn = make_tracker(cfg, dtype)
+    step = make_filter_step(cfg, donate=False)
+
+    def body(carry, frame):
+        ts, fs, key = carry
+        key, sub = jax.random.split(key)
+        new_ts, batch, _dbg = track_fn(ts, frame["image"], frame["imu_w"],
+                                       frame["imu_dt"], frame["imu_valid"],
+                                       sub)
+        imu = ImuBlock(w=frame["imu_w"], a=frame["imu_a"],
+                       dt=frame["imu_dt"], valid=frame["imu_valid"])
+        new_fs, out = step(fs, FrameBundle(imu=imu, batch=batch))
+        ok = frame["ok"]
+        ts = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_ts, ts)
+        fs = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_fs, fs)
+        outputs = {"q_kG": out["q_kG"], "p_Gk": out["p_Gk"],
+                   "v_k": out["v_k"], "n_good": out["n_good"], "ok": ok}
+        return (ts, fs, key), outputs
+
+    @jax.jit
+    def scan(carry, chunk):
+        return jax.lax.scan(body, carry, chunk)
+
+    return scan
+
+
+def run_euroc_sequence_scan(cfg: RVIOConfig, seq, dtype=jnp.float32,
+                            chunk_size: int = 32, seed: int = 0,
+                            progress: bool = False,
+                            max_frames: Optional[int] = None) -> DriverResult:
+    """Replay a sequence through the chunked on-device scan pipeline.
+
+    Matches ``run_euroc_sequence`` semantics (same init gate, same per-frame
+    math, same RNG chain) at chunk-amortized dispatch cost.
+    """
+    from rvio_tpu.dataio.euroc import load_image
+
+    gate = InitializationGate(cfg, dtype)
+    groups = bundle_imu(seq.imu_t, seq.imu_w, seq.imu_a, seq.cam_t,
+                        time_offset=cfg.camera.time_offset)
+    n = len(seq.cam_t) if max_frames is None else min(max_frames, len(seq.cam_t))
+    K = cfg.tpu.imu_block
+
+    # host-side init gate: find the first frame with filter state
+    init_fn, _ = make_tracker(cfg, dtype)
+    filter_state = None
+    k0 = None
+    for k in range(n):
+        w, a, dts = groups[k]
+        if len(w) < 2:
+            continue
+        filter_state = gate.feed(w, a, dts)
+        if filter_state is not None:
+            k0 = k
+            break
+    if filter_state is None:
+        raise RuntimeError("sequence never initialized")
+
+    tracker_state, _ = init_fn(jnp.asarray(load_image(seq.cam_files[k0]),
+                                           dtype))
+    carry = (tracker_state, filter_state, jax.random.key(seed))
+    scan = make_image_chunk_scan(cfg, dtype)
+
+    try:
+        from rvio_tpu.dataio.native_loader import BatchLoader
+        loader = BatchLoader(n_threads=2)
+    except Exception:
+        loader = None
+
+    def load_chunk(ks):
+        files = [seq.cam_files[k] for k in ks]
+        if loader is not None and len(files) > 1:
+            probe = load_image(files[0])
+            loader.submit(files[1:], width=probe.shape[1],
+                          height=probe.shape[0])
+            imgs = np.concatenate([probe[None], loader.collect()], axis=0)
+        else:
+            imgs = np.stack([load_image(f) for f in files])
+        B = len(ks)
+        cw = np.zeros((B, K, 3), np.float64)
+        ca = np.zeros((B, K, 3), np.float64)
+        cdt = np.zeros((B, K), np.float64)
+        cv = np.zeros((B, K), bool)
+        ok = np.zeros(B, bool)
+        for i, k in enumerate(ks):
+            w, a, dts = groups[k]
+            m = min(len(w), K)
+            cw[i, :m] = w[:m]
+            ca[i, :m] = a[:m]
+            cdt[i, :m] = dts[:m]
+            cv[i, :m] = True
+            ok[i] = len(w) >= 2
+        return {"image": jnp.asarray(imgs),
+                "imu_w": jnp.asarray(cw, dtype),
+                "imu_a": jnp.asarray(ca, dtype),
+                "imu_dt": jnp.asarray(cdt, dtype),
+                "imu_valid": jnp.asarray(cv),
+                "ok": jnp.asarray(ok)}
+
+    rows = []
+    frame_ids = list(range(k0 + 1, n))
+    for c0 in range(0, len(frame_ids), chunk_size):
+        ks = frame_ids[c0:c0 + chunk_size]
+        t0 = time.perf_counter()
+        chunk = load_chunk(ks)
+        carry, outs = scan(carry, chunk)
+        ok = np.asarray(outs["ok"])
+        ms = (time.perf_counter() - t0) * 1e3 / max(len(ks), 1)
+        p = np.asarray(outs["p_Gk"])
+        q = np.asarray(outs["q_kG"])
+        v = np.asarray(outs["v_k"])
+        g = np.asarray(outs["n_good"])
+        for i, k in enumerate(ks):
+            if ok[i]:
+                rows.append((seq.cam_t[k], p[i], q[i], v[i], int(g[i]),
+                             0.0, ms))
+        if progress and (c0 // chunk_size) % 5 == 0:
+            print(f"chunk {c0 // chunk_size}: frame {ks[-1]}/{n}")
+    if loader is not None:
+        loader.close()
+    if not rows:
+        raise RuntimeError("no frames processed")
+    ts, ps, qs, vs, ng, fe, be = zip(*rows)
+    return DriverResult(np.asarray(ts), np.asarray(ps), np.asarray(qs),
+                        np.asarray(vs), np.asarray(ng), np.asarray(fe),
+                        np.asarray(be))
 
 
 def run_euroc_sequence(cfg: RVIOConfig, seq, dtype=jnp.float32,

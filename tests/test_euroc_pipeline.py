@@ -4,10 +4,9 @@ Synthesizes a miniature EuRoC dataset on disk (rendered PNG frames + IMU and
 ground-truth CSVs in the ASL layout) and replays it through the production
 dataset path — loader, (native or python) PNG decode, threaded prefetch,
 tracker, filter — proving a reference user's workflow works end to end
-without ROS.
+without ROS.  Also checks the chunked on-device scan driver produces the
+same trajectory as the per-frame pipeline.
 """
-
-import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,12 +18,12 @@ from rvio_tpu.dataio.euroc import load_euroc
 from rvio_tpu.dataio.png import write_png_gray
 from rvio_tpu.dataio.synthetic import simulate_sequence, render_frame
 from rvio_tpu.eval.ate import ate_rmse
-from rvio_tpu.runtime.image_driver import run_euroc_sequence
+from rvio_tpu.runtime.image_driver import (run_euroc_sequence,
+                                           run_euroc_sequence_scan)
 
 
-@pytest.mark.slow
-def test_euroc_directory_replay(tmp_path):
-    cfg = RVIOConfig(
+def _mini_cfg():
+    return RVIOConfig(
         imu=ImuConfig(rate_hz=100.0),
         camera=CameraConfig(fps=10.0, width=320, height=240, fx=200.0,
                             fy=200.0, cx=160.0, cy=120.0, k1=-0.05, k2=0.01,
@@ -33,10 +32,16 @@ def test_euroc_directory_replay(tmp_path):
                               min_tracking_length=3, min_distance=12.0,
                               block_size_x=80, block_size_y=60),
         tpu=TpuConfig(imu_block=16))
+
+
+@pytest.fixture(scope="module")
+def asl_dataset(tmp_path_factory):
+    """Miniature EuRoC ASL directory rendered from the simulator."""
+    tmp_path = tmp_path_factory.mktemp("euroc")
+    cfg = _mini_cfg()
     sim = simulate_sequence(cfg, duration=8.0, static_time=1.0, ramp_time=1.5,
                             seed=9, n_landmarks=400, motion_scale=0.5)
 
-    # --- write the ASL layout ---
     mav = tmp_path / "mav0"
     (mav / "imu0").mkdir(parents=True)
     (mav / "cam0" / "data").mkdir(parents=True)
@@ -59,9 +64,13 @@ def test_euroc_directory_replay(tmp_path):
         for k, t in enumerate(sim.frame_t):
             p = sim.gt_p[k]
             f.write(f"{t0_ns + int(t * 1e9)},{p[0]},{p[1]},{p[2]},1,0,0,0\n")
+    return str(tmp_path), cfg, sim
 
-    # --- replay through the production path ---
-    seq = load_euroc(str(tmp_path))
+
+@pytest.mark.slow
+def test_euroc_directory_replay(asl_dataset):
+    path, cfg, sim = asl_dataset
+    seq = load_euroc(path)
     assert len(seq.cam_files) == len(sim.frame_t)
     res = run_euroc_sequence(cfg, seq, dtype=jnp.float64)
     assert len(res.timestamps) > 40
@@ -72,3 +81,21 @@ def test_euroc_directory_replay(tmp_path):
     span = np.linalg.norm(seq.gt_p.max(0) - seq.gt_p.min(0))
     assert span > 0.4
     assert ate < 0.25, f"EuRoC-path ATE {ate:.3f} m over {span:.2f} m span"
+
+
+@pytest.mark.slow
+def test_chunked_scan_matches_per_frame(asl_dataset):
+    """The chunk-scan driver reproduces the per-frame pipeline trajectory."""
+    path, cfg, sim = asl_dataset
+    seq = load_euroc(path)
+    res_a = run_euroc_sequence(cfg, seq, dtype=jnp.float64)
+    res_b = run_euroc_sequence_scan(cfg, seq, dtype=jnp.float64,
+                                    chunk_size=16)
+    assert len(res_b.timestamps) == len(res_a.timestamps)
+    np.testing.assert_allclose(res_b.timestamps, res_a.timestamps)
+    # identical math and RNG chain -> trajectories agree tightly
+    np.testing.assert_allclose(res_b.positions, res_a.positions,
+                               atol=1e-6, rtol=0)
+    np.testing.assert_allclose(res_b.quaternions, res_a.quaternions,
+                               atol=1e-6, rtol=0)
+    np.testing.assert_array_equal(res_b.n_good, res_a.n_good)
