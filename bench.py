@@ -151,6 +151,7 @@ def main():
     # Full image front-end on rendered frames (tracker: CLAHE + pyramid +
     # KLT + RANSAC + detection/lifecycle), unless disabled for speed.
     frontend_fps = None
+    pipeline_fps = None
     if os.environ.get("BENCH_FRONTEND", "1") == "1":
         from rvio_tpu.dataio.synthetic import render_frame
         from rvio_tpu.frontend.tracker import make_tracker
@@ -171,6 +172,39 @@ def main():
         jax.block_until_ready(o)
         frontend_fps = 10 / (time.perf_counter() - t0)
 
+        # Complete system images->poses: tracker + filter fused in the
+        # chunked on-device scan (one dispatch per 32 frames), frames
+        # device-resident — the production shape where host->device DMA
+        # overlaps compute.
+        from rvio_tpu.frontend.tracker import TrackerState  # noqa: F401
+        from rvio_tpu.runtime.image_driver import make_image_chunk_scan
+        PB, nchunk = 32, 2
+        u8 = np.stack([np.clip(render_frame(cfg, sim, idx0 + 1 + k), 0, 255)
+                       for k in range(PB * nchunk)]).astype(np.uint8)
+        scan = make_image_chunk_scan(cfg, dtype)
+        chunks = []
+        for c in range(nchunk):
+            chunks.append({
+                "image": jnp.asarray(u8[c * PB:(c + 1) * PB]),
+                "imu_w": jnp.zeros((PB, K, 3), dtype),
+                "imu_a": jnp.tile(jnp.asarray([0., 0., cfg.imu.gravity],
+                                              dtype), (PB, K, 1)),
+                "imu_dt": jnp.full((PB, K), 1.0 / cfg.imu.rate_hz, dtype),
+                "imu_valid": jnp.tile(jnp.arange(K) < 10, (PB, 1)),
+                "ok": jnp.ones(PB, bool)})
+
+        def run_pipeline():
+            carry = (ts0, jax.tree.map(jnp.copy, state0), jax.random.key(0))
+            out = None
+            for ch in chunks:
+                carry, out = scan(carry, ch)
+            return float(jnp.sum(out["p_Gk"]))
+
+        run_pipeline()
+        t0 = time.perf_counter()
+        run_pipeline()
+        pipeline_fps = PB * nchunk / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "filter_frames_per_sec_per_chip",
         "value": round(fps, 1),
@@ -184,6 +218,7 @@ def main():
         "batched_fps": round(fps_batched, 1),
         "batch": B,
         "frontend_fps": round(frontend_fps, 1) if frontend_fps else None,
+        "pipeline_fps": round(pipeline_fps, 1) if pipeline_fps else None,
         "compression": compression,
         "device": str(jax.devices()[0]).replace(" ", "_"),
         "config": f"euroc_{cfg.tracker.num_features}feat_window{cfg.tracker.max_tracking_length}",
