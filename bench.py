@@ -152,6 +152,7 @@ def main():
     # KLT + RANSAC + detection/lifecycle), unless disabled for speed.
     frontend_fps = None
     pipeline_fps = None
+    pipeline_batched_fps = None
     if os.environ.get("BENCH_FRONTEND", "1") == "1":
         from rvio_tpu.dataio.synthetic import render_frame
         from rvio_tpu.frontend.tracker import make_tracker
@@ -205,6 +206,29 @@ def main():
         run_pipeline()
         pipeline_fps = PB * nchunk / (time.perf_counter() - t0)
 
+        # Segment-batched full pipeline: BP independent sequences' images
+        # through tracker+filter in lockstep on one chip (replay throughput).
+        from rvio_tpu.runtime.image_driver import make_batched_image_chunk_scan
+        BP = int(os.environ.get("BENCH_PIPELINE_BATCH", "4"))
+        bscan = make_batched_image_chunk_scan(cfg, dtype)
+        bcarry0 = (jax.tree.map(lambda x: jnp.stack([x] * BP), ts0),
+                   jax.tree.map(lambda x: jnp.stack([x] * BP), state0),
+                   jax.random.split(jax.random.key(0), BP))
+        bchunks = [jax.tree.map(lambda x: jnp.stack([x] * BP), ch)
+                   for ch in chunks]
+
+        def run_bpipeline():
+            carry = jax.tree.map(jnp.copy, bcarry0)
+            out = None
+            for ch in bchunks:
+                carry, out = bscan(carry, ch)
+            return float(jnp.sum(out["p_Gk"]))
+
+        run_bpipeline()
+        t0 = time.perf_counter()
+        run_bpipeline()
+        pipeline_batched_fps = BP * PB * nchunk / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "filter_frames_per_sec_per_chip",
         "value": round(fps, 1),
@@ -219,6 +243,7 @@ def main():
         "batch": B,
         "frontend_fps": round(frontend_fps, 1) if frontend_fps else None,
         "pipeline_fps": round(pipeline_fps, 1) if pipeline_fps else None,
+        "pipeline_batched_fps": round(pipeline_batched_fps, 1) if pipeline_batched_fps else None,
         "compression": compression,
         "device": str(jax.devices()[0]).replace(" ", "_"),
         "config": f"euroc_{cfg.tracker.num_features}feat_window{cfg.tracker.max_tracking_length}",

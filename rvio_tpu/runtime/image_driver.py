@@ -96,6 +96,17 @@ def make_image_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
       carry untouched, like the reference skipping the frame,
     - outputs = per-frame {q_kG, p_Gk, v_k, n_good, ok} stacked over B.
     """
+    body = _chunk_body(cfg, dtype)
+
+    @jax.jit
+    def scan(carry, chunk):
+        return jax.lax.scan(body, carry, chunk)
+
+    return scan
+
+
+def _chunk_body(cfg: RVIOConfig, dtype):
+    """One frame of the fused tracker+filter scan (shared by both scans)."""
     _, track_fn = make_tracker(cfg, dtype)
     step = make_filter_step(cfg, donate=False)
 
@@ -115,9 +126,33 @@ def make_image_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
                    "v_k": out["v_k"], "n_good": out["n_good"], "ok": ok}
         return (ts, fs, key), outputs
 
+    return body
+
+
+def make_batched_image_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
+    """`make_image_chunk_scan` vmapped over a leading segment-batch axis.
+
+    Single-chip throughput mode for the FULL pipeline (images -> poses):
+    B independent sequence segments advance in lockstep, so the tracker's
+    image kernels and the filter's small linear algebra all become batched
+    ops — the image-level analogue of ``make_batched_sequence_scan``
+    (amortizes VPU/MXU dispatch latency that dominates a lone 200-feature
+    tracker + 108-dim filter).  Segments never interact; outputs are
+    identical to running ``make_image_chunk_scan`` per segment.
+
+    Returns ``scan(carry, chunk) -> (carry, outputs)`` with
+    - carry = (TrackerState, FilterState, rng keys) — every leaf (B, ...),
+    - chunk leaves (B, T, ...): image (B,T,H,W), imu_* (B,T,K,...), ok (B,T),
+    - outputs leaves (B, T, ...).
+    """
+    vbody = jax.vmap(_chunk_body(cfg, dtype))
+
     @jax.jit
     def scan(carry, chunk):
-        return jax.lax.scan(body, carry, chunk)
+        swapped = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), chunk)
+        final, outs = jax.lax.scan(vbody, carry, swapped)
+        outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+        return final, outs
 
     return scan
 

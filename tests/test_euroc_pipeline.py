@@ -18,7 +18,9 @@ from rvio_tpu.dataio.euroc import load_euroc
 from rvio_tpu.dataio.png import write_png_gray
 from rvio_tpu.dataio.synthetic import simulate_sequence, render_frame
 from rvio_tpu.eval.ate import ate_rmse
-from rvio_tpu.runtime.image_driver import (run_euroc_sequence,
+from rvio_tpu.runtime.image_driver import (make_batched_image_chunk_scan,
+                                           make_image_chunk_scan,
+                                           run_euroc_sequence,
                                            run_euroc_sequence_scan)
 
 
@@ -99,3 +101,77 @@ def test_chunked_scan_matches_per_frame(asl_dataset):
     np.testing.assert_allclose(res_b.quaternions, res_a.quaternions,
                                atol=1e-6, rtol=0)
     np.testing.assert_array_equal(res_b.n_good, res_a.n_good)
+
+
+@pytest.mark.slow
+def test_batched_chunk_scan_matches_single(asl_dataset):
+    """Segment-batched pipeline == per-segment single scans (B independent
+    filters in lockstep must not interact)."""
+    import jax
+    from rvio_tpu.dataio.euroc import load_euroc, load_image
+    from rvio_tpu.frontend.tracker import make_tracker
+    from rvio_tpu.runtime.driver import InitializationGate, bundle_imu
+
+    path, cfg, sim = asl_dataset
+    seq = load_euroc(path)
+    dtype = jnp.float64
+    K = cfg.tpu.imu_block
+    T = 12
+
+    groups = bundle_imu(seq.imu_t, seq.imu_w, seq.imu_a, seq.cam_t)
+    gate = InitializationGate(cfg, dtype)
+    state0 = None
+    for k in range(len(seq.cam_t)):
+        w, a, dts = groups[k]
+        if len(w) < 2:
+            continue
+        state0 = gate.feed(w, a, dts)
+        if state0 is not None:
+            k0 = k
+            break
+    assert state0 is not None
+
+    init_fn, _ = make_tracker(cfg, dtype)
+
+    def build_segment(start):
+        ts, _ = init_fn(jnp.asarray(load_image(seq.cam_files[start]), dtype))
+        ks = list(range(start + 1, start + 1 + T))
+        imgs = np.stack([load_image(seq.cam_files[k]) for k in ks])
+        cw = np.zeros((T, K, 3)); ca = np.zeros((T, K, 3))
+        cdt = np.zeros((T, K)); cv = np.zeros((T, K), bool)
+        ok = np.zeros(T, bool)
+        for i, k in enumerate(ks):
+            w, a, dts = groups[k]
+            m = min(len(w), K)
+            cw[i, :m] = w[:m]; ca[i, :m] = a[:m]; cdt[i, :m] = dts[:m]
+            cv[i, :m] = True; ok[i] = len(w) >= 2
+        chunk = {"image": jnp.asarray(imgs),
+                 "imu_w": jnp.asarray(cw, dtype),
+                 "imu_a": jnp.asarray(ca, dtype),
+                 "imu_dt": jnp.asarray(cdt, dtype),
+                 "imu_valid": jnp.asarray(cv),
+                 "ok": jnp.asarray(ok)}
+        return ts, chunk
+
+    starts = [k0, k0 + 5]
+    segs = [build_segment(s) for s in starts]
+    keys = [jax.random.key(7 + i) for i in range(len(starts))]
+
+    single = make_image_chunk_scan(cfg, dtype)
+    singles = [single((ts, state0, keys[i]), ch)[1]
+               for i, (ts, ch) in enumerate(segs)]
+
+    batched = make_batched_image_chunk_scan(cfg, dtype)
+    bcarry = (jax.tree.map(lambda *x: jnp.stack(x), *[s[0] for s in segs]),
+              jax.tree.map(lambda *x: jnp.stack(x), *([state0] * len(segs))),
+              jnp.stack(keys))
+    bchunk = jax.tree.map(lambda *x: jnp.stack(x), *[s[1] for s in segs])
+    _, bouts = batched(bcarry, bchunk)
+
+    for i in range(len(starts)):
+        for name in ("p_Gk", "q_kG", "v_k"):
+            np.testing.assert_allclose(np.asarray(bouts[name][i]),
+                                       np.asarray(singles[i][name]),
+                                       atol=1e-9, rtol=0, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(bouts["n_good"][i]),
+                                      np.asarray(singles[i]["n_good"]))
