@@ -139,6 +139,10 @@ class TpuConfig:
     imu_block: int = 16               # padded IMU samples per frame (<=11 real @200/20Hz;
                                       # the unrolled propagation scan scales with this)
     use_pallas: bool = True           # Pallas kernels for hot image ops (else XLA)
+    # Fused Pallas LK kernel (ops/klt_iterate.py): the whole per-level
+    # iteration loop in one kernel, ~8x faster than the XLA tile path on
+    # TPU.  Applies only when use_pallas and running on TPU.
+    klt_fused: bool = True
     # Measurement compression: "cholesky" (Gram/information form — pure
     # MXU, fastest, tiny structural ridge) or "qr" (exact thin QR; known to
     # fault the TPU runtime at very large stacked sizes, e.g. 800 features).

@@ -270,6 +270,118 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
     return guess, status, err
 
 
+def klt_track_fused(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
+                    pts: jnp.ndarray, active: jnp.ndarray, *, win: int = 15,
+                    max_iters: int = 30, eps: float = 1e-2,
+                    min_eig: float = 1e-3, interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """klt_track with the per-level iteration loop fused into ONE Pallas
+    kernel (ops/klt_iterate.py): tiles stay VMEM-resident, features are
+    packed on the lane axis, and the ~120 LK iterations/frame run without
+    any XLA gathers.  Same pyramid walk / status semantics as klt_track.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
+    testing); the tile gathers then use the XLA fallback path.
+    """
+    from rvio_tpu.ops.klt_iterate import (LANE, fused_tile_shape,
+                                          lk_level_pallas)
+
+    TH, TW = fused_tile_shape(win)
+    levels = len(prev_pyr) - 1
+    N = pts.shape[0]
+    Npad = -(-N // LANE) * LANE
+    dtype = pts.dtype
+    r = win // 2
+    wander = float(32 - win) / 2.0 - 1.0   # same bound as klt_track
+    on_tpu = (not interpret) and jax.default_backend() in ("tpu", "axon")
+
+    # Images are edge-replicate padded by a half tile so tile origins never
+    # clamp at image borders: every feature's window is interior to its tile
+    # and border sampling replicates the edge row/col (OpenCV-like), at any
+    # pyramid level.  Origins are in PADDED coords; `o` returned in image
+    # coords (subtracting the pad) so loc = p - o works unchanged.
+    PADY, PADX = TH // 2, TW // 2
+
+    def gather(img, pts_xy):
+        H, W = img.shape
+        imgp = jnp.pad(img, ((PADY, PADY), (PADX, PADX)), mode="edge")
+        Hp, Wp = H + 2 * PADY, W + 2 * PADX
+        oy = jnp.round(pts_xy[:, 1]).astype(jnp.int32) + PADY - TH // 2
+        oy = (jnp.clip(oy, 0, Hp - TH) // 8) * 8
+        ox = jnp.round(pts_xy[:, 0]).astype(jnp.int32) + PADX - TW // 2
+        ox = jnp.clip(ox, 0, Wp - TW)
+        o = jnp.stack([ox, oy], axis=1)
+        if on_tpu:
+            from rvio_tpu.ops.tile_gather import gather_tiles_narrow_pallas
+            wpad = max(Wp, (max(Wp - TW, 0) // 128) * 128 + 256)
+            hpad = -(-Hp // 8) * 8
+            if wpad > Wp or hpad > Hp:
+                imgp = jnp.pad(imgp, ((0, hpad - Hp), (0, wpad - Wp)))
+            tiles = gather_tiles_narrow_pallas(imgp, o, th=TH, tw=TW)
+        else:
+            tiles = _gather_tiles(imgp, o, TH, TW)
+        # image-coordinate origin (may be negative near borders — fine)
+        o_img = o - jnp.asarray([PADX, PADY], jnp.int32)[None]
+        return tiles, o_img
+
+    def pack(tiles):
+        """(N, TH, TW) -> (TH, TW, Npad) lane-packed."""
+        t = jnp.transpose(tiles, (1, 2, 0))
+        return jnp.pad(t, ((0, 0), (0, 0), (0, Npad - N)))
+
+    guess = pts / (2.0 ** levels)
+    status = active
+    err = jnp.zeros(N, dtype)
+
+    for lvl in range(levels, -1, -1):
+        prev_img = prev_pyr[lvl]
+        next_img = next_pyr[lvl]
+        H, W = prev_img.shape
+        p_lvl = pts / (2.0 ** lvl)
+
+        t_tiles, o0 = gather(prev_img, p_lvl)
+        n_tiles, o1 = gather(next_img, guess)
+
+        rb = r + 1 if lvl == 0 else 1
+        inb = ((p_lvl[:, 0] > rb) & (p_lvl[:, 0] < W - rb - 1)
+               & (p_lvl[:, 1] > rb) & (p_lvl[:, 1] < H - rb - 1))
+        status_in = status & inb
+
+        loc0 = (p_lvl - o0.astype(dtype)).astype(jnp.float32)
+        gloc = (guess - o1.astype(dtype)).astype(jnp.float32)
+
+        def row(v):
+            return jnp.pad(v.astype(jnp.float32), (0, Npad - N))
+
+        scal = jnp.stack([
+            row(loc0[:, 1]), row(loc0[:, 0]),
+            row(gloc[:, 1]), row(gloc[:, 0]),
+            row(gloc[:, 1]), row(gloc[:, 0]),
+            row(status_in.astype(jnp.float32)),
+            jnp.zeros(Npad, jnp.float32)])
+
+        out = lk_level_pallas(pack(t_tiles.astype(jnp.float32)),
+                              pack(n_tiles.astype(jnp.float32)), scal,
+                              win=win, max_iters=max_iters, eps=float(eps),
+                              min_eig=float(min_eig), wander=wander,
+                              interpret=interpret)
+        py = out[0, :N].astype(dtype) + o1[:, 1].astype(dtype)
+        px = out[1, :N].astype(dtype) + o1[:, 0].astype(dtype)
+        alive = out[2, :N] > 0.5
+        guess = jnp.stack([px, py], axis=1)
+        status = alive
+
+        if lvl > 0:
+            guess = guess * 2.0
+        else:
+            inb2 = ((guess[:, 0] > rb) & (guess[:, 0] < W - rb - 1)
+                    & (guess[:, 1] > rb) & (guess[:, 1] < H - rb - 1))
+            status = status & inb2
+            err = out[4, :N].astype(dtype)
+
+    return guess, status, err
+
+
 # ---------------------------------------------------------------------------
 # Reference formulation (per-iteration gathers) — kept for cross-checking.
 # ---------------------------------------------------------------------------

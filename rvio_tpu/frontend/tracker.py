@@ -31,7 +31,7 @@ from rvio_tpu.filter.update import UpdateBatch
 from rvio_tpu.frontend.detector import (corner_subpix, find_newer,
                                         grid_top_corners, shi_tomasi_response)
 from rvio_tpu.frontend.image import build_pyramid, clahe
-from rvio_tpu.frontend.klt import klt_track
+from rvio_tpu.frontend.klt import klt_track, klt_track_fused
 from rvio_tpu.frontend.ransac import gyro_ransac, integrate_gyro_rotation
 from rvio_tpu.frontend.undistort import undistort_normalize
 
@@ -73,6 +73,8 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
     R_bc = jnp.asarray(cfg.camera.R_bc, dtype)
     levels = cfg.tracker.klt_levels
     BIG = jnp.int32(1 << 30)
+    use_fused_klt = (cfg.tpu.use_pallas and cfg.tpu.klt_fused
+                     and jax.default_backend() in ("tpu", "axon"))
 
     def preprocess(image):
         img = image.astype(dtype)
@@ -107,11 +109,19 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
         pyr = preprocess(image)
 
         # --- KLT (Tracker.cc:237-244) ---
-        new_pos, status, err = klt_track(
-            list(ts.pyramid), list(pyr), ts.pos, ts.active,
-            win=cfg.tracker.klt_window, max_iters=cfg.tracker.klt_max_iters,
-            eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig,
-            use_pallas=cfg.tpu.use_pallas)
+        if use_fused_klt:
+            new_pos, status, err = klt_track_fused(
+                list(ts.pyramid), list(pyr), ts.pos, ts.active,
+                win=cfg.tracker.klt_window,
+                max_iters=cfg.tracker.klt_max_iters,
+                eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig)
+        else:
+            new_pos, status, err = klt_track(
+                list(ts.pyramid), list(pyr), ts.pos, ts.active,
+                win=cfg.tracker.klt_window,
+                max_iters=cfg.tracker.klt_max_iters,
+                eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig,
+                use_pallas=cfg.tpu.use_pallas)
 
         zn = undistort_normalize(new_pos, **cam).astype(dtype)
 

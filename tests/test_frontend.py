@@ -224,6 +224,63 @@ class TestKLT:
         _, status, _ = klt_track(pyr1, pyr2, pts, act)
         assert bool(status[0]) and not bool(status[1])
 
+    def test_fused_kernel_matches_tile_path(self):
+        """ops/klt_iterate fused kernel (interpreted) == klt_track, interior.
+
+        Border features may differ (the fused path edge-replicates instead
+        of zero-padding tiles), so points are kept interior at all levels.
+        """
+        from rvio_tpu.frontend.klt import klt_track_fused
+        rng = np.random.default_rng(21)
+        img1, img2 = self._shifted_pair(rng, (3.7, 2.4), h=240, w=320)
+        pyr1 = build_pyramid(img1, 3)
+        pyr2 = build_pyramid(img2, 3)
+        pts = jnp.asarray(np.stack(np.meshgrid(np.arange(90, 240, 16),
+                                               np.arange(90, 160, 16)),
+                                   -1).reshape(-1, 2), jnp.float64)
+        act = jnp.ones(pts.shape[0], bool)
+        p_a, s_a, e_a = klt_track(pyr1, pyr2, pts, act, win=15)
+        p_b, s_b, e_b = klt_track_fused(pyr1, pyr2, pts, act, win=15,
+                                        interpret=True)
+        sa, sb = np.asarray(s_a), np.asarray(s_b)
+        assert (sa == sb).mean() > 0.95
+        both = sa & sb
+        assert both.mean() > 0.8
+        np.testing.assert_allclose(np.asarray(p_b)[both],
+                                   np.asarray(p_a)[both], atol=0.01)
+        np.testing.assert_allclose(np.asarray(e_b)[both],
+                                   np.asarray(e_a)[both], atol=0.01)
+
+    def test_fused_kernel_recovers_translation(self):
+        from rvio_tpu.frontend.klt import klt_track_fused
+        rng = np.random.default_rng(22)
+        shift = (11.0, -7.0)
+        img1, img2 = self._shifted_pair(rng, shift, h=240, w=300)
+        pyr1 = build_pyramid(img1, 3)
+        pyr2 = build_pyramid(img2, 3)
+        pts = jnp.asarray(np.stack(np.meshgrid(np.arange(60, 240, 24),
+                                               np.arange(60, 180, 24)),
+                                   -1).reshape(-1, 2), jnp.float64)
+        act = jnp.ones(pts.shape[0], bool)
+        new, status, _ = klt_track_fused(pyr1, pyr2, pts, act, win=15,
+                                         interpret=True)
+        st = np.asarray(status)
+        assert st.mean() > 0.7
+        d = np.asarray(new) - np.asarray(pts)
+        got = np.median(d[st], axis=0)
+        np.testing.assert_allclose(got, shift, atol=0.3)
+
+    def test_fused_kernel_inactive_lanes(self):
+        from rvio_tpu.frontend.klt import klt_track_fused
+        rng = np.random.default_rng(23)
+        img1, img2 = self._shifted_pair(rng, (1.0, 1.0))
+        pyr1 = build_pyramid(img1, 2)
+        pyr2 = build_pyramid(img2, 2)
+        pts = jnp.asarray([[50.0, 50.0], [80.0, 80.0]])
+        act = jnp.asarray([True, False])
+        _, status, _ = klt_track_fused(pyr1, pyr2, pts, act, interpret=True)
+        assert bool(status[0]) and not bool(status[1])
+
 
 class TestDetector:
     def _corner_image(self, rng, h=240, w=320, n=12):
