@@ -346,7 +346,7 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     c0 = jnp.where(batch.is_type2, 0, n - (tlen - 1))
     c0 = jnp.clip(c0, 0, M)
 
-    def per_feature(z, tl, typ2, c0_f):
+    def chains(c0_f):
         Rrel, trel = _feature_chain(Rw, tw, c0_f, L)
         # Camera-frame chain (Updater.cc:135-141).
         R_cb = R_bc.T
@@ -354,9 +354,24 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
         Rc = jnp.einsum("ab,lbc,cd->lad", R_cb, Rrel, R_bc)
         tc = (jnp.einsum("ab,lbc,c->la", R_cb, Rrel, t_bc)
               + jnp.einsum("ab,lb->la", R_cb, trel) + t_cb)
+        return Rrel, trel, Rc, tc
 
-        phi, psi, rho, ok = _lm_triangulate(z, Rc, tc, tl, sigma_im, L)
+    Rrel_a, trel_a, Rc_a, tc_a = jax.vmap(chains)(c0)
 
+    on_tpu_f32 = (dtype == jnp.float32
+                  and jax.default_backend() in ("tpu", "axon"))
+    if on_tpu_f32:
+        # lane-packed Pallas LM (ops/lm_triangulate.py): the vmapped XLA
+        # path costs ~0.35 ms/frame in small-op overhead at F=100 on v5e
+        from rvio_tpu.ops.lm_triangulate import lm_triangulate_pallas
+        phi_a, psi_a, rho_a, ok_lm = lm_triangulate_pallas(
+            batch.meas, Rc_a, tc_a, tlen, sigma_im=sigma_im)
+    else:
+        phi_a, psi_a, rho_a, ok_lm = jax.vmap(
+            lambda z, Rc, tc, tl: _lm_triangulate(z, Rc, tc, tl, sigma_im, L)
+        )(batch.meas, Rc_a, tc_a, tlen)
+
+    def per_feature(z, tl, typ2, c0_f, Rrel, trel, Rc, tc, phi, psi, rho, ok):
         # Type-2 truncation: only the first half of the track updates
         # (Updater.cc:271-275; Tracker.cc:317-334).
         t_eff = jnp.where(typ2, (tl + 1) // 2, tl)
@@ -384,20 +399,30 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
         return r_p, Hx_p, dof, ok, pfk, rho
 
     r_all, Hx_all, dof_all, ok_all, pfk_all, rho_all = jax.vmap(per_feature)(
-        batch.meas, tlen, batch.is_type2, c0)
+        batch.meas, tlen, batch.is_type2, c0, Rrel_a, trel_a, Rc_a, tc_a,
+        phi_a, psi_a, rho_a, ok_lm)
 
     # ---- Mahalanobis gating (Updater.cc:404-454) ----
     Pcl = state.P[24:, 24:]
 
-    def mdist(Hxf, rf):
+    def build_S(Hxf):
         S = Hxf @ Pcl @ Hxf.T
         S = S + (sigma_im ** 2) * jnp.eye(2 * L, dtype=dtype)
-        S = 0.5 * (S + S.T)
-        sol = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(S, lower=True), rf)
-        return jnp.abs(rf @ sol)
+        return 0.5 * (S + S.T)
 
-    D_all = jax.vmap(mdist)(Hx_all, r_all)
+    if dtype == jnp.float32 and jax.default_backend() in ("tpu", "axon"):
+        # lane-packed Pallas Cholesky: XLA's batched cho_factor is an
+        # m-step dispatch loop (~0.3 ms/frame at F=100, m=30 on v5e)
+        from rvio_tpu.ops.spd_solve import batched_quadform_pallas
+        S_all = jax.vmap(build_S)(Hx_all)
+        D_all = jnp.abs(batched_quadform_pallas(S_all, r_all))
+    else:
+        def mdist(Hxf, rf):
+            sol = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(build_S(Hxf), lower=True), rf)
+            return jnp.abs(rf @ sol)
+
+        D_all = jax.vmap(mdist)(Hx_all, r_all)
     thr = chi2[jnp.clip(dof_all - 1, 0, 2 * L - 1)]
     # A track of length T spans T-1 transitions; they must all exist in the
     # window (guards front-ends whose tracks predate filter init).

@@ -46,3 +46,78 @@ class TestTileGatherKernels:
                         (jnp.clip(orig[:, 1], 0, 64 - 40) // 8) * 8], axis=1)
         b = _gather_tiles(img, oc, 40, 32)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSpdSolve:
+    def test_quadform_matches_dense_solve(self):
+        from rvio_tpu.ops.spd_solve import batched_quadform_pallas
+        rng = np.random.default_rng(5)
+        F, m = 37, 30
+        A = rng.normal(size=(F, m, m))
+        S = A @ np.transpose(A, (0, 2, 1)) + 1e-2 * np.eye(m)
+        r = rng.normal(size=(F, m))
+        D = np.asarray(batched_quadform_pallas(
+            jnp.asarray(S), jnp.asarray(r), interpret=True))
+        D_ref = np.einsum(
+            "fi,fi->f", r, np.linalg.solve(S, r[..., None])[..., 0])
+        np.testing.assert_allclose(D, D_ref, rtol=1e-9)
+
+    def test_quadform_degenerate_lane_rejects(self):
+        """Zero / indefinite S must yield NaN (auto-rejected by the chi2
+        gate), without contaminating other lanes."""
+        from rvio_tpu.ops.spd_solve import batched_quadform_pallas
+        rng = np.random.default_rng(6)
+        F, m = 8, 10
+        A = rng.normal(size=(F, m, m))
+        S = A @ np.transpose(A, (0, 2, 1)) + 1e-2 * np.eye(m)
+        S[0] = 0.0
+        r = rng.normal(size=(F, m))
+        D = np.asarray(batched_quadform_pallas(
+            jnp.asarray(S), jnp.asarray(r), interpret=True))
+        assert np.isnan(D[0])
+        D_ref = np.einsum(
+            "fi,fi->f", r[1:], np.linalg.solve(S[1:], r[1:, :, None])[..., 0])
+        np.testing.assert_allclose(D[1:], D_ref, rtol=1e-9)
+
+
+class TestLmTriangulate:
+    def _geometry(self, rng, F=24, L=15):
+        from scipy.spatial.transform import Rotation
+        Rc = np.stack([np.stack([
+            Rotation.from_rotvec(rng.normal(size=3) * 0.05).as_matrix()
+            for _ in range(L)]) for _ in range(F)])
+        Rc[:, 0] = np.eye(3)
+        tc = rng.normal(size=(F, L, 3)) * 0.1
+        tc[:, 0] = 0
+        pts = np.array([0.2, -0.1, 2.0]) + rng.normal(size=(F, 3)) * 0.3
+        z = np.zeros((F, L, 2))
+        for f in range(F):
+            d = np.linalg.norm(pts[f])
+            for l in range(L):
+                h = Rc[f, l] @ pts[f] / d + tc[f, l] / d
+                z[f, l] = h[:2] / h[2] + rng.normal(size=2) * 0.001
+        tl = np.minimum(3 + rng.integers(0, L, size=F), L).astype(np.int32)
+        return z, Rc, tc, tl
+
+    def test_matches_xla_lm(self):
+        """ops/lm_triangulate kernel (interpreted) == filter/update's
+        vmapped _lm_triangulate to fp precision."""
+        import jax
+        from rvio_tpu.filter.update import _lm_triangulate
+        from rvio_tpu.ops.lm_triangulate import lm_triangulate_pallas
+        rng = np.random.default_rng(4)
+        L = 15
+        sigma = 0.005
+        z, Rc, tc, tl = self._geometry(rng, L=L)
+        za, Ra, ta = jnp.asarray(z), jnp.asarray(Rc), jnp.asarray(tc)
+        ref = jax.vmap(lambda zz, rr, tt, ll:
+                       _lm_triangulate(zz, rr, tt, ll, sigma, L)
+                       )(za, Ra, ta, jnp.asarray(tl))
+        got = lm_triangulate_pallas(za, Ra, ta, jnp.asarray(tl),
+                                    sigma_im=sigma, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+        ok = np.asarray(ref[3])
+        for i, name in enumerate(("phi", "psi", "rho")):
+            np.testing.assert_allclose(np.asarray(got[i])[ok],
+                                       np.asarray(ref[i])[ok],
+                                       atol=1e-12, err_msg=name)
