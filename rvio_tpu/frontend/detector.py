@@ -129,6 +129,12 @@ def corner_subpix(img: jnp.ndarray, pts: jnp.ndarray, win: int = 7,
     from rvio_tpu.frontend.klt import (_tile_gather_dispatch, _sample_patches,
                                        TILE, TILE_H)
 
+    if use_pallas and jax.default_backend() in ("tpu", "axon"):
+        # fused lane-packed kernel: the XLA iteration loop costs ~0.3 ms
+        # per frame in per-iteration patch gathers at N=200 on v5e
+        from rvio_tpu.ops.klt_iterate import subpix_refine_pallas
+        return subpix_refine_pallas(img, pts, win=win, iters=iters)
+
     size = 2 * win + 1
     N = pts.shape[0]
     dtype = pts.dtype

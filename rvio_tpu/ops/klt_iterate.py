@@ -254,3 +254,113 @@ def lk_level_pallas(tp, ts, scal, *, win: int, max_iters: int, eps: float,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(tp, ts, scal)
+
+
+def _subpix_kernel(tiles_ref, scal_ref, out_ref, *, win: int, iters: int):
+    """cv::cornerSubPix refinement, lane-packed (cf. detector.corner_subpix).
+
+    scal rows: 0 locy, 1 locx (tile coords).  out rows: 0 locy, 1 locx.
+    One (size+2)^2 patch per iteration; central differences are shifted
+    static slices of it.  Fixed ``iters`` trips, steps clipped to ±1.
+    """
+    T = tiles_ref[...]
+    dt = T.dtype
+    size = 2 * win + 1
+    R, C = T.shape[0], T.shape[1]
+
+    # Mosaic supports integer iota only; offsets built as int then cast.
+    oy = (jax.lax.broadcasted_iota(jnp.int32, (size, 1, 1), 0)
+          - win).astype(dt)
+    ox = (jax.lax.broadcasted_iota(jnp.int32, (1, size, 1), 1)
+          - win).astype(dt)
+    wmask = jnp.exp(-(ox * ox + oy * oy) / (2.0 * (win / 2.0) ** 2)).astype(dt)
+
+    py = scal_ref[0:1, :]
+    px = scal_ref[1:2, :]
+    for _ in range(iters):
+        ly = jnp.clip(py, 0.0, float(R - 1))
+        lx = jnp.clip(px, 0.0, float(C - 1))
+        p = _sample(T, ly, lx, size + 2)             # (size+2, size+2, N)
+        gx = (p[1:-1, 2:, :] - p[1:-1, :-2, :]) * 0.5
+        gy = (p[2:, 1:-1, :] - p[:-2, 1:-1, :]) * 0.5
+        gxx = jnp.sum(wmask * gx * gx, axis=(0, 1))[None]
+        gxy = jnp.sum(wmask * gx * gy, axis=(0, 1))[None]
+        gyy = jnp.sum(wmask * gy * gy, axis=(0, 1))[None]
+        bx = jnp.sum(wmask * (gx * gx * ox + gx * gy * oy), axis=(0, 1))[None]
+        by = jnp.sum(wmask * (gx * gy * ox + gy * gy * oy), axis=(0, 1))[None]
+        det = gxx * gyy - gxy * gxy
+        safe = jnp.abs(det) > 1e-12
+        dets = jnp.where(safe, det, 1.0)
+        dx = jnp.where(safe, (gyy * bx - gxy * by) / dets, 0.0)
+        dy = jnp.where(safe, (-gxy * bx + gxx * by) / dets, 0.0)
+        px = px + jnp.clip(dx, -1.0, 1.0)
+        py = py + jnp.clip(dy, -1.0, 1.0)
+    out_ref[0:1, :] = py
+    out_ref[1:2, :] = px
+    out_ref[2:8, :] = jnp.zeros((6, py.shape[1]), dt)
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters", "interpret"))
+def subpix_refine_pallas(img: jnp.ndarray, pts: jnp.ndarray, *, win: int = 7,
+                         iters: int = 10, interpret: bool = False):
+    """Batched corner refinement on an edge-padded image.
+
+    img: (H, W); pts: (N, 2) xy pixel coords.  Returns refined (N, 2).
+    Mirrors detector.corner_subpix numerics; window sampling uses the
+    fused-KLT base-clamped bilinear (identical while the corner stays
+    within ~±9 px of its detection, which clip(step)<=1 x iters bounds).
+    """
+    size = 2 * win + 1
+    TH = 56
+    TW = 48
+    N = pts.shape[0]
+    Npad = -(-N // LANE) * LANE
+    dtype = pts.dtype
+    on_tpu = (not interpret) and jax.default_backend() in ("tpu", "axon")
+
+    H, W = img.shape
+    PADY, PADX = TH // 2, TW // 2
+    imgp = jnp.pad(img, ((PADY, PADY), (PADX, PADX)), mode="edge")
+    Hp, Wp = H + 2 * PADY, W + 2 * PADX
+    oy = jnp.round(pts[:, 1]).astype(jnp.int32) + PADY - TH // 2
+    oy = (jnp.clip(oy, 0, Hp - TH) // 8) * 8
+    ox = jnp.round(pts[:, 0]).astype(jnp.int32) + PADX - TW // 2
+    ox = jnp.clip(ox, 0, Wp - TW)
+    o = jnp.stack([ox, oy], axis=1)
+    if on_tpu:
+        from rvio_tpu.ops.tile_gather import gather_tiles_narrow_pallas
+        wpad = max(Wp, (max(Wp - TW, 0) // 128) * 128 + 256)
+        hpad = -(-Hp // 8) * 8
+        if wpad > Wp or hpad > Hp:
+            imgp = jnp.pad(imgp, ((0, hpad - Hp), (0, wpad - Wp)))
+        tiles = gather_tiles_narrow_pallas(imgp, o, th=TH, tw=TW)
+    else:
+        from rvio_tpu.frontend.klt import _gather_tiles
+        tiles = _gather_tiles(imgp, o, TH, TW)
+
+    tp = jnp.pad(jnp.transpose(tiles.astype(jnp.float32), (1, 2, 0)),
+                 ((0, 0), (0, 0), (0, Npad - N)))
+    o_img = (o - jnp.asarray([PADX, PADY], jnp.int32)[None]).astype(dtype)
+    loc = (pts - o_img).astype(jnp.float32)
+    scal = (jnp.zeros((8, Npad), jnp.float32)
+            .at[0, :N].set(loc[:, 1])
+            .at[1, :N].set(loc[:, 0]))
+
+    kern = functools.partial(_subpix_kernel, win=win, iters=iters)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, Npad), jnp.float32),
+        grid=(Npad // LANE,),
+        in_specs=[
+            pl.BlockSpec((TH, TW, LANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, LANE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tp, scal)
+    py = out[0, :N].astype(dtype) + o_img[:, 1]
+    px = out[1, :N].astype(dtype) + o_img[:, 0]
+    return jnp.stack([px, py], axis=1)

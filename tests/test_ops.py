@@ -121,3 +121,24 @@ class TestLmTriangulate:
             np.testing.assert_allclose(np.asarray(got[i])[ok],
                                        np.asarray(ref[i])[ok],
                                        atol=1e-12, err_msg=name)
+
+
+class TestSubpixKernel:
+    def test_matches_xla_subpix(self):
+        from scipy.ndimage import gaussian_filter
+        from rvio_tpu.frontend.detector import corner_subpix
+        from rvio_tpu.ops.klt_iterate import subpix_refine_pallas
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(gaussian_filter(
+            rng.uniform(0, 255, (240, 320)), 1.0))
+        pts = jnp.asarray(np.stack(
+            np.meshgrid(np.arange(40, 280, 24), np.arange(40, 200, 24)),
+            -1).reshape(-1, 2), jnp.float64)
+        pts = pts + jnp.asarray(rng.uniform(-0.4, 0.4, pts.shape))
+        a = np.asarray(corner_subpix(img, pts, win=7))
+        b = np.asarray(subpix_refine_pallas(img, pts, win=7, interpret=True))
+        # tile geometry differs at image borders; interior corners agree to
+        # well under detection quantization
+        d = np.abs(a - b)
+        assert np.median(d) < 1e-3
+        assert d.max() < 0.15
