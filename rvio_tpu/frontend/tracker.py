@@ -72,7 +72,6 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
     cam = _cam_kwargs(cfg)
     R_bc = jnp.asarray(cfg.camera.R_bc, dtype)
     levels = cfg.tracker.klt_levels
-    BIG = jnp.int32(1 << 30)
     use_fused_klt = (cfg.tpu.use_pallas and cfg.tpu.klt_fused
                      and jax.default_backend() in ("tpu", "axon"))
 
@@ -144,22 +143,29 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
         lost = ts.active & ~inlier
 
         # --- update batch assembly (Tracker.cc:271-342) ---
+        # Budget selection: type-1 (lost) features first by slot index, then
+        # type-2, capped at F.  Stable compaction by cumsum rank + scatter —
+        # an argsort over N is a bitonic sort on TPU, the rank is one scan.
         slot = jnp.arange(N, dtype=jnp.int32)
         type1 = lost & (ts.length >= Lmin)
         at_max = tracked & (ts.length == L)
-        order_key = jnp.where(type1, slot,
-                              jnp.where(at_max, N + slot, BIG))
-        order = jnp.argsort(order_key)
-        sel = order[:F]
-        sel_key = order_key[sel]
-        sel_valid = sel_key < BIG
+        n_type1 = jnp.sum(type1.astype(jnp.int32))
+        r1 = jnp.cumsum(type1.astype(jnp.int32)) - 1          # rank in type1
+        r2 = n_type1 + jnp.cumsum(at_max.astype(jnp.int32)) - 1
+        pos = jnp.where(type1, r1, jnp.where(at_max, r2, F))  # F -> dropped
+        in_budget_any = (type1 | at_max) & (pos < F)
+        sel = jnp.zeros(F, jnp.int32).at[
+            jnp.where(in_budget_any, pos, F)].set(slot, mode="drop")
+        ranks = jnp.arange(F, dtype=jnp.int32)
+        n_sel = jnp.minimum(n_type1 + jnp.sum(at_max.astype(jnp.int32)), F)
+        sel_valid = ranks < n_sel
         batch = UpdateBatch(
             meas=jnp.where(sel_valid[:, None, None], ts.hist[sel], 0.0),
             track_len=jnp.where(sel_valid, ts.length[sel], 0).astype(jnp.int32),
-            is_type2=sel_valid & (sel_key >= N),
+            is_type2=sel_valid & (ranks >= n_type1),
             valid=sel_valid)
-        # scatter back: which at_max slots made the budget
-        in_budget = jnp.zeros(N, bool).at[sel].set(sel_valid)
+        # which at_max slots made the budget
+        in_budget = at_max & (pos < F)
 
         # --- history update (Tracker.cc:305-342) ---
         # per-slot front-shift: type-2 in budget -> drop to keep_after_t2
@@ -186,16 +192,20 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
                            min_dist=min_dist, max_feats=N)
         C = cand_pts.shape[0]
         free = ~active
-        free_order = jnp.argsort(jnp.where(free, slot, BIG))
-        cand_order = jnp.argsort(
-            jnp.where(admit, jnp.arange(C, dtype=jnp.int32), jnp.int32(C + 1)))
         n_free = jnp.sum(free.astype(jnp.int32))
         n_admit = jnp.sum(admit.astype(jnp.int32))
         K = min(N, C)
         r = jnp.arange(K)
         fill = (r < n_free) & (r < n_admit)
-        dst = free_order[:K]
-        src = cand_order[:K]
+        # compact free slots / admitted candidates by cumsum rank (stable,
+        # slot-index order — same as the argsort it replaces)
+        rf = jnp.cumsum(free.astype(jnp.int32)) - 1
+        dst = jnp.zeros(K, jnp.int32).at[
+            jnp.where(free & (rf < K), rf, K)].set(slot, mode="drop")
+        ra = jnp.cumsum(admit.astype(jnp.int32)) - 1
+        src = jnp.zeros(K, jnp.int32).at[
+            jnp.where(admit & (ra < K), ra, K)].set(
+            jnp.arange(C, dtype=jnp.int32), mode="drop")
         new_pts = cand_pts[src]
         new_zn = undistort_normalize(new_pts, **cam).astype(dtype)
         pos = pos.at[dst].set(jnp.where(fill[:, None], new_pts, pos[dst]))
