@@ -177,10 +177,10 @@ def main():
         # chunked on-device scan (one dispatch per 32 frames), frames
         # device-resident — the production shape where host->device DMA
         # overlaps compute.
-        from rvio_tpu.frontend.tracker import TrackerState  # noqa: F401
         from rvio_tpu.runtime.image_driver import make_image_chunk_scan
         PB, nchunk = 32, 2
-        u8 = np.stack([np.clip(render_frame(cfg, sim, idx0 + 1 + k), 0, 255)
+        # stream starts right after the tracker-init frame (idx0 + 5)
+        u8 = np.stack([np.clip(render_frame(cfg, sim, idx0 + 6 + k), 0, 255)
                        for k in range(PB * nchunk)]).astype(np.uint8)
         scan = make_image_chunk_scan(cfg, dtype)
         chunks = []

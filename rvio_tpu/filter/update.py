@@ -323,7 +323,8 @@ def _householder_project(Hf, Hx, r):
 
 def msckf_update(state: FilterState, batch: UpdateBatch, *,
                  R_bc: np.ndarray, t_bc: np.ndarray, sigma_im: float,
-                 min_clone_states: int, compression: str = "qr"):
+                 min_clone_states: int, compression: str = "qr",
+                 use_pallas: bool = True):
     """Full measurement update; returns (new_state, diagnostics).
 
     Equivalent to Updater::update (reference: Updater.cc:72-628) plus the
@@ -358,7 +359,7 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
 
     Rrel_a, trel_a, Rc_a, tc_a = jax.vmap(chains)(c0)
 
-    on_tpu_f32 = (dtype == jnp.float32
+    on_tpu_f32 = (use_pallas and dtype == jnp.float32
                   and jax.default_backend() in ("tpu", "axon"))
     if on_tpu_f32:
         # lane-packed Pallas LM (ops/lm_triangulate.py): the vmapped XLA
@@ -410,7 +411,7 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
         S = S + (sigma_im ** 2) * jnp.eye(2 * L, dtype=dtype)
         return 0.5 * (S + S.T)
 
-    if dtype == jnp.float32 and jax.default_backend() in ("tpu", "axon"):
+    if on_tpu_f32:
         # lane-packed Pallas Cholesky: XLA's batched cho_factor is an
         # m-step dispatch loop (~0.3 ms/frame at F=100, m=30 on v5e)
         from rvio_tpu.ops.spd_solve import batched_quadform_pallas

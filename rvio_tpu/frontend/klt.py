@@ -270,6 +270,38 @@ def klt_track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
     return guess, status, err
 
 
+def gather_edge_padded_tiles(img: jnp.ndarray, pts_xy: jnp.ndarray,
+                             th: int, tw: int, on_tpu: bool):
+    """Per-feature (th x tw) tiles centered on pts from an edge-replicate
+    padded image — tile origins never clamp at image borders, so sampling
+    is interior everywhere and border pixels replicate (OpenCV-like).
+
+    Returns (tiles (N, th, tw), origin (N, 2) in IMAGE coords, possibly
+    negative near borders).  Row origins are 8-aligned (DMA tiling); the
+    shared geometry for the fused LK and subpix kernels.
+    """
+    H, W = img.shape
+    pady, padx = th // 2, tw // 2
+    imgp = jnp.pad(img, ((pady, pady), (padx, padx)), mode="edge")
+    Hp, Wp = H + 2 * pady, W + 2 * padx
+    oy = jnp.round(pts_xy[:, 1]).astype(jnp.int32) + pady - th // 2
+    oy = (jnp.clip(oy, 0, Hp - th) // 8) * 8
+    ox = jnp.round(pts_xy[:, 0]).astype(jnp.int32) + padx - tw // 2
+    ox = jnp.clip(ox, 0, Wp - tw)
+    o = jnp.stack([ox, oy], axis=1)
+    if on_tpu:
+        from rvio_tpu.ops.tile_gather import gather_tiles_narrow_pallas
+        wpad = max(Wp, (max(Wp - tw, 0) // 128) * 128 + 256)
+        hpad = -(-Hp // 8) * 8
+        if wpad > Wp or hpad > Hp:
+            imgp = jnp.pad(imgp, ((0, hpad - Hp), (0, wpad - Wp)))
+        tiles = gather_tiles_narrow_pallas(imgp, o, th=th, tw=tw)
+    else:
+        tiles = _gather_tiles(imgp, o, th, tw)
+    o_img = o - jnp.asarray([padx, pady], jnp.int32)[None]
+    return tiles, o_img
+
+
 def klt_track_fused(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
                     pts: jnp.ndarray, active: jnp.ndarray, *, win: int = 15,
                     max_iters: int = 30, eps: float = 1e-2,
@@ -295,34 +327,8 @@ def klt_track_fused(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
     wander = float(32 - win) / 2.0 - 1.0   # same bound as klt_track
     on_tpu = (not interpret) and jax.default_backend() in ("tpu", "axon")
 
-    # Images are edge-replicate padded by a half tile so tile origins never
-    # clamp at image borders: every feature's window is interior to its tile
-    # and border sampling replicates the edge row/col (OpenCV-like), at any
-    # pyramid level.  Origins are in PADDED coords; `o` returned in image
-    # coords (subtracting the pad) so loc = p - o works unchanged.
-    PADY, PADX = TH // 2, TW // 2
-
     def gather(img, pts_xy):
-        H, W = img.shape
-        imgp = jnp.pad(img, ((PADY, PADY), (PADX, PADX)), mode="edge")
-        Hp, Wp = H + 2 * PADY, W + 2 * PADX
-        oy = jnp.round(pts_xy[:, 1]).astype(jnp.int32) + PADY - TH // 2
-        oy = (jnp.clip(oy, 0, Hp - TH) // 8) * 8
-        ox = jnp.round(pts_xy[:, 0]).astype(jnp.int32) + PADX - TW // 2
-        ox = jnp.clip(ox, 0, Wp - TW)
-        o = jnp.stack([ox, oy], axis=1)
-        if on_tpu:
-            from rvio_tpu.ops.tile_gather import gather_tiles_narrow_pallas
-            wpad = max(Wp, (max(Wp - TW, 0) // 128) * 128 + 256)
-            hpad = -(-Hp // 8) * 8
-            if wpad > Wp or hpad > Hp:
-                imgp = jnp.pad(imgp, ((0, hpad - Hp), (0, wpad - Wp)))
-            tiles = gather_tiles_narrow_pallas(imgp, o, th=TH, tw=TW)
-        else:
-            tiles = _gather_tiles(imgp, o, TH, TW)
-        # image-coordinate origin (may be negative near borders — fine)
-        o_img = o - jnp.asarray([PADX, PADY], jnp.int32)[None]
-        return tiles, o_img
+        return gather_edge_padded_tiles(img, pts_xy, TH, TW, on_tpu)
 
     def pack(tiles):
         """(N, TH, TW) -> (TH, TW, Npad) lane-packed."""

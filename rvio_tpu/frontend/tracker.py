@@ -208,11 +208,14 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
             jnp.arange(C, dtype=jnp.int32), mode="drop")
         new_pts = cand_pts[src]
         new_zn = undistort_normalize(new_pts, **cam).astype(dtype)
-        pos = pos.at[dst].set(jnp.where(fill[:, None], new_pts, pos[dst]))
-        active = active.at[dst].set(jnp.where(fill, True, active[dst]))
-        hist = hist.at[dst, 0].set(jnp.where(fill[:, None], new_zn,
-                                             hist[dst, 0]))
-        new_len = new_len.at[dst].set(jnp.where(fill, 1, new_len[dst]))
+        # unfilled ranks leave dst at its scatter default (0): route them out
+        # of bounds so only filled rows write (duplicate index-0 writes would
+        # race with slot 0's legitimate refill)
+        dst_w = jnp.where(fill, dst, N)
+        pos = pos.at[dst_w].set(new_pts, mode="drop")
+        active = active.at[dst_w].set(True, mode="drop")
+        hist = hist.at[dst_w, 0].set(new_zn, mode="drop")
+        new_len = new_len.at[dst_w].set(1, mode="drop")
 
         debug = {"n_tracked": jnp.sum(tracked.astype(jnp.int32)),
                  "n_lost": jnp.sum(lost.astype(jnp.int32)),

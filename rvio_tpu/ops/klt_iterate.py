@@ -310,37 +310,24 @@ def subpix_refine_pallas(img: jnp.ndarray, pts: jnp.ndarray, *, win: int = 7,
     fused-KLT base-clamped bilinear (identical while the corner stays
     within ~±9 px of its detection, which clip(step)<=1 x iters bounds).
     """
-    size = 2 * win + 1
-    TH = 56
-    TW = 48
+    from rvio_tpu.frontend.klt import gather_edge_padded_tiles
+
+    rup8 = lambda x: -(-x // 8) * 8
+    # Tile sized so the (2*win+3)-tap sample window plus bilinear blend stays
+    # interior under the 8-row origin alignment (+7), rounding (+0.5), and
+    # the clip(step)<=1-per-iteration drift bound (+iters) — see the fused
+    # LK sizing derivation; rows: TH/2 + 7.5 + iters + win + 2 <= TH - 1.
+    TH = rup8(2 * iters + 2 * win + 21)
+    TW = rup8(2 * iters + 2 * win + 7)
     N = pts.shape[0]
     Npad = -(-N // LANE) * LANE
     dtype = pts.dtype
     on_tpu = (not interpret) and jax.default_backend() in ("tpu", "axon")
 
-    H, W = img.shape
-    PADY, PADX = TH // 2, TW // 2
-    imgp = jnp.pad(img, ((PADY, PADY), (PADX, PADX)), mode="edge")
-    Hp, Wp = H + 2 * PADY, W + 2 * PADX
-    oy = jnp.round(pts[:, 1]).astype(jnp.int32) + PADY - TH // 2
-    oy = (jnp.clip(oy, 0, Hp - TH) // 8) * 8
-    ox = jnp.round(pts[:, 0]).astype(jnp.int32) + PADX - TW // 2
-    ox = jnp.clip(ox, 0, Wp - TW)
-    o = jnp.stack([ox, oy], axis=1)
-    if on_tpu:
-        from rvio_tpu.ops.tile_gather import gather_tiles_narrow_pallas
-        wpad = max(Wp, (max(Wp - TW, 0) // 128) * 128 + 256)
-        hpad = -(-Hp // 8) * 8
-        if wpad > Wp or hpad > Hp:
-            imgp = jnp.pad(imgp, ((0, hpad - Hp), (0, wpad - Wp)))
-        tiles = gather_tiles_narrow_pallas(imgp, o, th=TH, tw=TW)
-    else:
-        from rvio_tpu.frontend.klt import _gather_tiles
-        tiles = _gather_tiles(imgp, o, TH, TW)
-
+    tiles, o_img = gather_edge_padded_tiles(img, pts, TH, TW, on_tpu)
     tp = jnp.pad(jnp.transpose(tiles.astype(jnp.float32), (1, 2, 0)),
                  ((0, 0), (0, 0), (0, Npad - N)))
-    o_img = (o - jnp.asarray([PADX, PADY], jnp.int32)[None]).astype(dtype)
+    o_img = o_img.astype(dtype)
     loc = (pts - o_img).astype(jnp.float32)
     scal = (jnp.zeros((8, Npad), jnp.float32)
             .at[0, :N].set(loc[:, 1])

@@ -30,7 +30,8 @@ def _step_body(cfg: RVIOConfig):
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
-                  compression=cfg.tpu.compression)
+                  compression=cfg.tpu.compression,
+                  use_pallas=cfg.tpu.use_pallas)
 
     def body(state: FilterState, bundle: FrameBundle):
         st = propagate(state, bundle.imu, **imu_kw)

@@ -48,7 +48,8 @@ def make_filter_step(cfg: RVIOConfig, donate: bool = True):
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
-                  compression=cfg.tpu.compression)
+                  compression=cfg.tpu.compression,
+                  use_pallas=cfg.tpu.use_pallas)
 
     def step(state: FilterState, bundle: FrameBundle
              ) -> Tuple[FilterState, dict]:
@@ -81,7 +82,8 @@ def make_sequence_scan(cfg: RVIOConfig):
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
-                  compression=cfg.tpu.compression)
+                  compression=cfg.tpu.compression,
+                  use_pallas=cfg.tpu.use_pallas)
 
     def body(state, bundle):
         st = propagate(state, bundle.imu, **imu_kw)
@@ -112,7 +114,8 @@ def make_batched_sequence_scan(cfg: RVIOConfig):
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
-                  compression=cfg.tpu.compression)
+                  compression=cfg.tpu.compression,
+                  use_pallas=cfg.tpu.use_pallas)
 
     def body(state, bundle):
         st = propagate(state, bundle.imu, **imu_kw)

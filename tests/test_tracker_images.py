@@ -118,3 +118,35 @@ class TestTrackerOnImages:
                 d = np.linalg.norm(zn - zlast[None, :], axis=1).min()
                 assert d < 0.02, f"batch measurement {d:.4f} from any landmark"
                 break
+
+
+def test_refill_lands_in_slot_zero(tracked):
+    """Regression: the refill compaction must fill slot 0 like any other.
+
+    A drop-mode scatter with default-0 destination indices raced duplicate
+    writes at slot 0, leaving it permanently inactive (and the candidate
+    silently discarded) whenever fewer candidates than free slots existed.
+    """
+    from rvio_tpu.frontend.tracker import TrackerState
+    cfg, sim, k0, states, batches, debugs, n0 = tracked
+    init_fn, track_fn = make_tracker(cfg, jnp.float64)
+    ts = states[5]
+    # deactivate slot 0 (and only slot 0): it must be refilled this frame
+    ts0 = TrackerState(pos=ts.pos, hist=ts.hist,
+                       length=ts.length.at[0].set(0),
+                       active=ts.active.at[0].set(False),
+                       pyramid=ts.pyramid)
+    k = k0 + 6
+    img = jnp.asarray(render_frame(cfg, sim, k))
+    groups = bundle_imu(sim.imu_t, sim.imu_w, sim.imu_a, sim.frame_t)
+    w, a, dts = groups[k]
+    K = cfg.tpu.imu_block
+    pad = K - len(w)
+    wj = jnp.asarray(np.pad(w, ((0, pad), (0, 0))))
+    dj = jnp.asarray(np.pad(dts, (0, pad)))
+    vj = jnp.asarray(np.arange(K) < len(w))
+    nts, _b, dbg = track_fn(ts0, img, wj, dj, vj, jax.random.key(3))
+    if int(dbg["n_new"]) >= 1:
+        assert bool(nts.active[0]), "slot 0 was not refilled"
+        assert int(nts.length[0]) == 1
+        assert float(jnp.abs(nts.pos[0]).sum()) > 0.0
