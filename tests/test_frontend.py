@@ -336,3 +336,38 @@ class TestDetector:
         assert not admit[0]      # too close to existing corner
         assert admit[1]          # free block
         assert not admit[2]      # also too close
+
+
+class TestFusedKltConfigs:
+    """fused-KLT tile sizing must hold across window/pyramid configs."""
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("win,levels", [(9, 2), (11, 4), (15, 2)])
+    def test_fused_matches_tile_path_config(self, win, levels):
+        from rvio_tpu.frontend.klt import klt_track, klt_track_fused
+        rng = np.random.default_rng(100 + win + levels)
+        h, w = 240, 320
+        from scipy.ndimage import gaussian_filter
+        base = gaussian_filter(rng.uniform(0, 255, (h + 20, w + 20)), 1.2)
+        img1 = jnp.asarray(base[10:10 + h, 10:10 + w])
+        from rvio_tpu.frontend.image import bilinear_sample
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        pts_grid = np.stack([xx + 10 - 2.7, yy + 10 + 1.9],
+                            axis=-1).reshape(-1, 2)
+        img2 = jnp.asarray(np.asarray(bilinear_sample(
+            jnp.asarray(base), jnp.asarray(pts_grid))).reshape(h, w))
+        pyr1 = build_pyramid(img1, levels)
+        pyr2 = build_pyramid(img2, levels)
+        pts = jnp.asarray(np.stack(np.meshgrid(np.arange(80, 250, 24),
+                                               np.arange(80, 170, 24)),
+                                   -1).reshape(-1, 2), jnp.float64)
+        act = jnp.ones(pts.shape[0], bool)
+        p_a, s_a, _ = klt_track(pyr1, pyr2, pts, act, win=win)
+        p_b, s_b, _ = klt_track_fused(pyr1, pyr2, pts, act, win=win,
+                                      interpret=True)
+        sa, sb = np.asarray(s_a), np.asarray(s_b)
+        assert (sa == sb).mean() > 0.9, f"win={win} levels={levels}"
+        both = sa & sb
+        assert both.mean() > 0.7
+        np.testing.assert_allclose(np.asarray(p_b)[both],
+                                   np.asarray(p_a)[both], atol=0.05)
