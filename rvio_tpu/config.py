@@ -132,6 +132,20 @@ class InitConfig:
 
 
 @dataclass(frozen=True)
+class LandmarkConfig:
+    """Landmark visualization (reference: config/rvio_euroc.yaml:118-121).
+
+    The reference publishes accepted landmarks as rviz cube markers of edge
+    ``nScale`` with lifetime ``1/nPubRate`` s (Updater.cc:59-63,83-85);
+    headless here: marker radius in the SVG plot and the cloud decimation
+    rate for the recorded landmark file.
+    """
+
+    scale: float = 0.03               # Landmark.nScale [m] marker size
+    pub_rate: float = 5.0             # Landmark.nPubRate [Hz]
+
+
+@dataclass(frozen=True)
 class TpuConfig:
     """TPU-native compile-time knobs (no reference equivalent — new design)."""
 
@@ -156,6 +170,7 @@ class RVIOConfig:
     camera: CameraConfig = field(default_factory=CameraConfig)
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     init: InitConfig = field(default_factory=InitConfig)
+    landmark: LandmarkConfig = field(default_factory=LandmarkConfig)
     tpu: TpuConfig = field(default_factory=TpuConfig)
 
     @property
@@ -219,6 +234,9 @@ _REF_INIT = {
     "INI.EnableAlignment": "enable_alignment",
     "INI.RecordOutputs": "record_outputs",
 }
+_REF_LANDMARK = {
+    "Landmark.nScale": "scale", "Landmark.nPubRate": "pub_rate",
+}
 
 
 def _coerce_bools(cfg_cls, kwargs: dict) -> dict:
@@ -238,7 +256,8 @@ def config_from_flat(flat: dict) -> RVIOConfig:
     cam = CameraConfig(**_coerce_bools(CameraConfig, cam_kw))
     trk = TrackerConfig(**_coerce_bools(TrackerConfig, {v: flat[k] for k, v in _REF_TRACKER.items() if k in flat}))
     ini = InitConfig(**_coerce_bools(InitConfig, {v: flat[k] for k, v in _REF_INIT.items() if k in flat}))
-    return RVIOConfig(imu=imu, camera=cam, tracker=trk, init=ini)
+    lmk = LandmarkConfig(**{v: flat[k] for k, v in _REF_LANDMARK.items() if k in flat})
+    return RVIOConfig(imu=imu, camera=cam, tracker=trk, init=ini, landmark=lmk)
 
 
 def load_reference_config(path: str) -> RVIOConfig:
@@ -279,7 +298,7 @@ def load_config(path: str) -> RVIOConfig:
     sections = {}
     for name, cls in (("imu", ImuConfig), ("camera", CameraConfig),
                       ("tracker", TrackerConfig), ("init", InitConfig),
-                      ("tpu", TpuConfig)):
+                      ("landmark", LandmarkConfig), ("tpu", TpuConfig)):
         if name in data:
             kw = _coerce_bools(cls, data[name])
             if name == "camera" and "T_BC0" in kw:

@@ -71,6 +71,7 @@ def main(argv=None):
         print(format_table(rows))
         return 0
 
+    gt_aligned = None
     if args.synthetic is not None:
         from rvio_tpu.dataio.synthetic import simulate_sequence
         sim = simulate_sequence(cfg, duration=args.synthetic, seed=args.seed,
@@ -79,11 +80,13 @@ def main(argv=None):
         driver = SequenceDriver(cfg, dtype=dtype)
         t0 = time.perf_counter()
         res = driver.run(sim.imu_t, sim.imu_w, sim.imu_a, sim.frame_t,
-                         batches_from_sim(sim), progress=True)
+                         batches_from_sim(sim), progress=True,
+                         collect_landmarks=True)
         wall = time.perf_counter() - t0
         from rvio_tpu.eval.ate import ate_rmse
         idx = np.searchsorted(sim.frame_t, res.timestamps)
-        ate = ate_rmse(res.positions, sim.gt_p[idx])
+        gt_aligned = sim.gt_p[idx]
+        ate = ate_rmse(res.positions, gt_aligned)
         print(f"ATE RMSE: {ate * 100:.2f} cm over {len(res.timestamps)} frames "
               f"({len(res.timestamps) / wall:.1f} fps)")
     elif args.euroc:
@@ -95,7 +98,8 @@ def main(argv=None):
             from rvio_tpu.eval.ate import ate_rmse
             gi = np.searchsorted(seq.gt_t, res.timestamps)
             gi = np.clip(gi, 0, len(seq.gt_t) - 1)
-            ate = ate_rmse(res.positions, seq.gt_p[gi])
+            gt_aligned = seq.gt_p[gi]
+            ate = ate_rmse(res.positions, gt_aligned)
             print(f"ATE RMSE: {ate * 100:.2f} cm")
     else:
         ap.error("need --euroc or --synthetic")
@@ -106,7 +110,17 @@ def main(argv=None):
     with open(os.path.join(args.output, "time_cost.dat"), "w") as f:
         for i, (fe, be) in enumerate(zip(res.frontend_ms, res.backend_ms)):
             f.write(f"{i + 1} {fe:.6f} {be:.6f}\n")
-    print(f"wrote {args.output}/stamped_pose_ests.dat, time_cost.dat")
+    # Headless rviz equivalent: trajectory (+GT, +landmark map) SVG.
+    from rvio_tpu.utils.visualize import plot_trajectory_svg
+    lms = getattr(res, "landmarks", None)
+    plot_trajectory_svg(os.path.join(args.output, "trajectory.svg"),
+                        res.positions, gt_p=gt_aligned, landmarks=lms,
+                        landmark_scale=cfg.landmark.scale)
+    if lms is not None:
+        np.savetxt(os.path.join(args.output, "landmarks.xyz"), lms,
+                   fmt="%.6f")
+    print(f"wrote {args.output}/stamped_pose_ests.dat, time_cost.dat, "
+          "trajectory.svg")
     return 0
 
 

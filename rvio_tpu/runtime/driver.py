@@ -114,6 +114,17 @@ class DriverResult:
     n_good: np.ndarray         # (T,)
     frontend_ms: np.ndarray    # (T,) per-frame front-end wall time
     backend_ms: np.ndarray     # (T,) per-frame back-end wall time
+    landmarks: Optional[np.ndarray] = None  # (NL,3) world-frame cloud
+
+
+def _quat_to_rot_np(q: np.ndarray) -> np.ndarray:
+    """JPL (x,y,z,w) quaternion -> rotation matrix, host-side numpy."""
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y + w * z), 2 * (x * z - w * y)],
+        [2 * (x * y - w * z), 1 - 2 * (x * x + z * z), 2 * (y * z + w * x)],
+        [2 * (x * z + w * y), 2 * (y * z - w * x), 1 - 2 * (x * x + y * y)],
+    ])
 
 
 class SequenceDriver:
@@ -125,10 +136,15 @@ class SequenceDriver:
         self.step = make_filter_step(cfg, donate=cfg.tpu.donate_state)
 
     def run(self, imu_t, imu_w, imu_a, frame_t, batches,
-            progress: bool = False) -> DriverResult:
+            progress: bool = False,
+            collect_landmarks: bool = False) -> DriverResult:
         """Run a full sequence.
 
         batches: per-frame UpdateBatch pytrees (host arrays fine).
+        collect_landmarks: record the accepted landmark cloud in the world
+        frame, decimated to ``landmark.pub_rate`` Hz (the reference publishes
+        an rviz cloud in frame "imu" with lifetime 1/nPubRate,
+        Updater.cc:79-85,431-447; here it is accumulated into a map).
         """
         cfg = self.cfg
         gate = InitializationGate(cfg, self.dtype)
@@ -136,6 +152,9 @@ class SequenceDriver:
                             time_offset=cfg.camera.time_offset)
         state = None
         rows = []
+        lm_rows = []
+        pub_every = max(1, int(round(
+            cfg.camera.fps / max(cfg.landmark.pub_rate, 1e-9))))
         for k, (tf, (w, a, dts)) in enumerate(zip(frame_t, groups)):
             if len(w) < 2:
                 continue
@@ -158,14 +177,22 @@ class SequenceDriver:
             t2 = time.perf_counter()
             rows.append((tf, p, q, np.asarray(out["v_k"]),
                          int(out["n_good"]), (t1 - t0) * 1e3, (t2 - t1) * 1e3))
+            if collect_landmarks and len(rows) % pub_every == 0:
+                # accept gate-passing features with positive inverse depth
+                # (Updater.cc:431: publish only if rho > 0)
+                ok = np.asarray(out["landmark_ok"]) & (np.asarray(out["rho"]) > 0)
+                if ok.any():
+                    pfk = np.asarray(out["landmarks"])[ok]
+                    lm_rows.append(p + pfk @ _quat_to_rot_np(q))
             if progress and k % 100 == 0:
                 print(f"frame {k}/{len(frame_t)} p={p}")
         if not rows:
             raise RuntimeError("sequence never initialized (no motion?)")
         ts, ps, qs, vs, ng, fe, be = zip(*rows)
+        lms = np.concatenate(lm_rows, axis=0) if lm_rows else None
         return DriverResult(np.asarray(ts), np.asarray(ps), np.asarray(qs),
                             np.asarray(vs), np.asarray(ng), np.asarray(fe),
-                            np.asarray(be))
+                            np.asarray(be), landmarks=lms)
 
 
 def batches_from_sim(sim) -> List[UpdateBatch]:

@@ -61,6 +61,7 @@ def make_filter_step(cfg: RVIOConfig, donate: bool = True):
             "q_kG": q_kG, "p_Gk": p_Gk, "v_k": vk,
             "n_good": diag["n_good"], "did_update": diag["did_update"],
             "landmarks": diag["landmarks"], "landmark_ok": diag["passed"],
+            "rho": diag["rho"],
         }
         return st, outputs
 

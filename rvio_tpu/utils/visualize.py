@@ -70,12 +70,23 @@ def save_debug_image(path: str, img: np.ndarray) -> None:
 def plot_trajectory_svg(path: str, est_p: np.ndarray,
                         gt_p: Optional[np.ndarray] = None,
                         landmarks: Optional[np.ndarray] = None,
-                        axes=(0, 1), size: int = 640) -> None:
-    """Top-down (or chosen-axes) trajectory plot as a standalone SVG."""
+                        axes=(0, 1), size: int = 640,
+                        landmark_scale: Optional[float] = None) -> None:
+    """Top-down (or chosen-axes) trajectory plot as a standalone SVG.
+
+    ``landmark_scale`` is the landmark marker size in world units
+    (Landmark.nScale, the reference's rviz cube edge, Updater.cc:61-63);
+    None draws a fixed 1.2 px dot.
+    """
     a, b = axes
     pts = [np.asarray(est_p)[:, [a, b]]]
     if gt_p is not None:
         pts.append(np.asarray(gt_p)[:, [a, b]])
+    if landmarks is not None and len(landmarks):
+        # include the cloud in the view, but robustly (5th..95th pctile so a
+        # few far-away triangulations don't shrink the trajectory to a dot)
+        lm2 = np.asarray(landmarks)[:, [a, b]]
+        pts.append(np.percentile(lm2, [5, 95], axis=0))
     allp = np.concatenate(pts, axis=0)
     lo = allp.min(axis=0)
     hi = allp.max(axis=0)
@@ -89,9 +100,15 @@ def plot_trajectory_svg(path: str, est_p: np.ndarray,
     parts = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" '
              f'height="{size}" style="background:#fff">']
     if landmarks is not None:
+        if landmark_scale is not None:
+            # world units -> px via the plot's meters-per-pixel
+            r = max(0.4, landmark_scale / float(max(span + 2 * pad))
+                    * (size - 20) / 2)
+        else:
+            r = 1.2
         lx, ly = to_px(np.asarray(landmarks)[:, [a, b]])
         for x, y in zip(lx, ly):
-            parts.append(f'<circle cx="{x:.1f}" cy="{y:.1f}" r="1.2" '
+            parts.append(f'<circle cx="{x:.1f}" cy="{y:.1f}" r="{r:.1f}" '
                          'fill="#bbb"/>')
 
     def polyline(p, color, width):

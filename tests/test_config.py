@@ -56,6 +56,9 @@ INI.nThresholdAngle: 0.005
 INI.nThresholdDispl: 0.01
 INI.EnableAlignment: 1
 INI.RecordOutputs: 0
+
+Landmark.nScale: 0.05
+Landmark.nPubRate: 4
 """
 
 
@@ -75,6 +78,8 @@ class TestReferenceFormat:
         np.testing.assert_allclose(cfg.camera.t_bc,
                                    [-0.0216401454975, -0.064676986768,
                                     0.00981073058949])
+        assert cfg.landmark.scale == pytest.approx(0.05)
+        assert cfg.landmark.pub_rate == pytest.approx(4.0)
 
     def test_load_config_auto_detects(self, tmp_path):
         p = tmp_path / "ref.yaml"

@@ -33,7 +33,7 @@ def sim_and_result():
                             n_landmarks=500, meas_noise=0.0)
     driver = SequenceDriver(cfg, dtype=jnp.float64)
     res = driver.run(sim.imu_t, sim.imu_w, sim.imu_a, sim.frame_t,
-                     batches_from_sim(sim))
+                     batches_from_sim(sim), collect_landmarks=True)
     return cfg, sim, res
 
 
@@ -75,6 +75,20 @@ class TestEndToEnd:
         tail = slice(len(res.positions) // 2, None)
         ate_tail = ate_rmse(res.positions[tail], gt[tail])
         assert ate_tail < 0.08, f"tail ATE {ate_tail:.4f} m"
+
+    def test_landmark_cloud_matches_map(self, sim_and_result):
+        """Accepted landmarks, moved to the world frame with the same
+        Umeyama alignment as the trajectory, must land near true landmarks
+        (the reference publishes this cloud for rviz, Updater.cc:431-447)."""
+        from rvio_tpu.eval.ate import umeyama_alignment
+        cfg, sim, res = sim_and_result
+        assert res.landmarks is not None and len(res.landmarks) > 50
+        idx = np.searchsorted(sim.frame_t, res.timestamps)
+        R, t, s = umeyama_alignment(res.positions, sim.gt_p[idx])
+        lm_w = (s * (R @ res.landmarks.T)).T + t
+        d = np.linalg.norm(lm_w[:, None, :] - sim.landmarks[None], axis=-1)
+        nn = d.min(axis=1)
+        assert np.median(nn) < 0.5, f"median landmark NN {np.median(nn):.3f} m"
 
     def test_trajectory_actually_moves(self, sim_and_result):
         cfg, sim, res = sim_and_result
