@@ -77,6 +77,13 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
 
     def preprocess(image):
         img = image.astype(dtype)
+        if img.ndim == 3:
+            # color input -> BT.601 luma; Camera.RGB picks the channel order
+            # (reference: Tracker.cc:183-202 cvtColor RGB2GRAY/BGR2GRAY)
+            r, g, b = ((img[..., 0], img[..., 1], img[..., 2])
+                       if cfg.camera.is_rgb
+                       else (img[..., 2], img[..., 1], img[..., 0]))
+            img = 0.299 * r + 0.587 * g + 0.114 * b
         if cfg.tracker.enable_equalizer:
             img = clahe(img, 3.0, 5)
         return tuple(build_pyramid(img, levels))

@@ -150,3 +150,18 @@ def test_refill_lands_in_slot_zero(tracked):
         assert bool(nts.active[0]), "slot 0 was not refilled"
         assert int(nts.length[0]) == 1
         assert float(jnp.abs(nts.pos[0]).sum()) > 0.0
+
+
+def test_rgb_input_matches_gray(tracked):
+    """A 3-channel frame with equal channels must track exactly like its
+    grayscale version (Camera.RGB parity: Tracker.cc:183-202 cvtColor)."""
+    cfg, sim, k0, states, batches, debugs, n0 = tracked
+    init_fn, _ = make_tracker(cfg, jnp.float64)
+    gray = render_frame(cfg, sim, k0)
+    rgb = np.repeat(gray[..., None], 3, axis=-1)
+    ts_g, n_g = init_fn(jnp.asarray(gray))
+    ts_c, n_c = init_fn(jnp.asarray(rgb))
+    assert int(n_g) == int(n_c)
+    # luma weights sum to 1.0 only up to fp rounding -> ~1e-7 px wiggle
+    np.testing.assert_allclose(np.asarray(ts_c.pos), np.asarray(ts_g.pos),
+                               atol=5e-3)
