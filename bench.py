@@ -229,6 +229,17 @@ def main():
         run_bpipeline()
         pipeline_batched_fps = BP * PB * nchunk / (time.perf_counter() - t0)
 
+    # Flagship image-level accuracy: the FULL pipeline (rendered 752x480
+    # frames -> tracker -> filter) at the EuRoC operating point, >=60 s with
+    # noisy IMU + bias offsets.  This is the accuracy claim of record (real
+    # EuRoC is unreachable here — no network/dataset; see BASELINE.md).
+    pipeline_ate = None
+    if os.environ.get("BENCH_PIPELINE_ATE", "1") == "1":
+        from rvio_tpu.runtime.image_driver import run_rendered_sequence_scan
+        res = run_rendered_sequence_scan(cfg, sim, dtype=dtype, chunk_size=32)
+        idx = np.searchsorted(sim.frame_t, res.timestamps)
+        pipeline_ate = ate_rmse(res.positions, sim.gt_p[idx])
+
     print(json.dumps({
         "metric": "filter_frames_per_sec_per_chip",
         "value": round(fps, 1),
@@ -238,6 +249,7 @@ def main():
         "wall_s": round(best, 4),
         "compile_s": round(compile_s, 1),
         "synthetic_ate_m": round(ate, 4),
+        "pipeline_ate_m": round(pipeline_ate, 4) if pipeline_ate else None,
         "n_good_mean": round(float(np.asarray(out["n_good"]).mean()), 1),
         "batched_fps": round(fps_batched, 1),
         "batch": B,

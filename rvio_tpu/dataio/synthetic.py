@@ -270,11 +270,30 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
         slot_landmark=slot_lm_out, slot_px=slot_px_out)
 
 
+def _project_to_pixels_np(xn, yn, c):
+    """Forward-distorted pixel projection, host-side numpy.
+
+    Same models as frontend/undistort.py (radtan + equidistant fisheye) —
+    duplicated in numpy so rendering never dispatches to the device (a jit
+    compile through a remote-TPU tunnel costs minutes)."""
+    if c.is_fisheye:
+        r = np.sqrt(np.maximum(xn * xn + yn * yn, 1e-18))
+        theta = np.arctan(r)
+        th2 = theta * theta
+        # fisheye coefficients ride in the (k1,k2,p1,p2) slots as k1..k4
+        theta_d = theta * (1 + th2 * (c.k1 + th2 * (c.k2 + th2 * (c.p1 + th2 * c.p2))))
+        s = theta_d / r
+        xd, yd = xn * s, yn * s
+    else:
+        r2 = xn * xn + yn * yn
+        radial = 1.0 + r2 * (c.k1 + r2 * (c.k2 + r2 * c.k3))
+        xd = xn * radial + 2.0 * c.p1 * xn * yn + c.p2 * (r2 + 2.0 * xn * xn)
+        yd = yn * radial + c.p1 * (r2 + 2.0 * yn * yn) + 2.0 * c.p2 * xn * yn
+    return np.stack([xd * c.fx + c.cx, yd * c.fy + c.cy], axis=1)
+
+
 def project_landmarks(cfg: RVIOConfig, sim: SyntheticSequence, k: int):
     """Distorted pixel positions + visibility of all landmarks at frame k."""
-    from rvio_tpu.frontend.undistort import project_to_pixels
-    import jax.numpy as jnp
-
     R = sim.gt_R[k]
     p_cam_w = sim.gt_p[k] + R @ cfg.camera.t_bc
     R_wc = R @ cfg.camera.R_bc
@@ -284,10 +303,7 @@ def project_landmarks(cfg: RVIOConfig, sim: SyntheticSequence, k: int):
     xn = pc[:, 0] / zs
     yn = pc[:, 1] / zs
     c = cfg.camera
-    px = np.asarray(project_to_pixels(
-        jnp.asarray(np.stack([xn, yn], 1)), fx=c.fx, fy=c.fy, cx=c.cx,
-        cy=c.cy, k1=c.k1, k2=c.k2, p1=c.p1, p2=c.p2, k3=c.k3,
-        fisheye=c.is_fisheye))
+    px = _project_to_pixels_np(xn, yn, c)
     vis = (z > 0.4) & (z < 25.0) & (px[:, 0] > 12) & (px[:, 0] < c.width - 12) \
         & (px[:, 1] > 12) & (px[:, 1] < c.height - 12)
     return px, vis

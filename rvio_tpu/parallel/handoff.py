@@ -1,0 +1,359 @@
+"""Warm-handoff segment parallelism: split ONE long sequence across devices.
+
+The reference is strictly sequential-in-time (SURVEY.md section 5) and can
+only start filtering from a static initialization (System.cc:182-249), so a
+long run (the 9.8 km drive, reference README.md:52) cannot be split.  Here a
+mid-sequence segment starts *warm*:
+
+- segment 0 uses the normal static init;
+- segment s>0 starts ``warmup`` frames before its body with a **moving
+  initialization** (:func:`warm_initialize`): gravity from the instantaneous
+  accelerometer direction, zero velocity/biases — all with inflated
+  covariance.  Gravity, velocity and biases are observable in VIO, so the
+  filter converges during the warm-up; warm-up outputs are discarded except
+  for the overlap tail used to align segment frames.
+
+All segments then run **in parallel** (vmapped + sharded over the ``seg``
+mesh axis), and the per-segment trajectories are joined by the 4-DOF
+overlap fit + associative prefix product in :mod:`rvio_tpu.parallel.stitch`
+— the composition-chain property of the robocentric formulation
+(System.cc:325-365) is what makes the segment outputs composable.
+
+Exact (bitwise) sequential handoff — resuming segment s+1 from segment s's
+checkpoint — is provided by runtime/checkpoint.py and tested separately;
+this module is the *parallel* path, which trades a warm-up re-convergence
+per boundary for wall-clock ~T/S per device.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvio_tpu.config import RVIOConfig
+from rvio_tpu.core.quaternion import rot_to_quat
+from rvio_tpu.parallel.stitch import fit_yaw_transform, prefix_product
+from rvio_tpu.runtime.step import FrameBundle
+from rvio_tpu.state import FilterState, make_initial_state
+
+
+def warm_initialize(cfg: RVIOConfig, a0: np.ndarray, dtype=jnp.float64, *,
+                    v0: Optional[np.ndarray] = None,
+                    g0: Optional[np.ndarray] = None,
+                    sigma_g0: float = 0.3, sigma_v0: float = 1.0,
+                    sigma_bg0: float = 0.05, sigma_ba0: float = 0.5
+                    ) -> FilterState:
+    """Moving (mid-sequence) initialization for a warm-up segment start.
+
+    Unlike the static init (System.cc:115-170), no rest window exists.
+    With ``v0``/``g0`` from :func:`bootstrap_velocity_gravity` the start is
+    accurate to ~0.1 m/s / a few degrees; otherwise gravity is seeded from
+    the instantaneous specific-force direction (off by up to the platform
+    acceleration / g — covered by ``sigma_g0``) and velocity starts at zero
+    with a wide prior.  The warm-up frames let the filter collapse the
+    remaining error before the segment body begins.
+    """
+    a0 = np.asarray(a0, np.float64)
+    g = (np.asarray(g0, np.float64) if g0 is not None
+         else a0 / max(np.linalg.norm(a0), 1e-12))
+
+    # gravity-aligned {G_s} axes, same construction as the static init
+    zv = g
+    ex = np.array([1.0, 0.0, 0.0])
+    xv = ex - zv * float(np.dot(zv, ex))
+    xv = xv / np.linalg.norm(xv)
+    yv = np.cross(zv, xv)
+    yv = yv / np.linalg.norm(yv)
+    R = (np.stack([xv, yv, zv], axis=-1) if cfg.init.enable_alignment
+         else np.eye(3))
+
+    M = cfg.window_size
+    st = make_initial_state(M, dtype)
+    diag = np.zeros(24 + 6 * M)
+    diag[0:6] = 1e-3 ** 2                 # qG, pG: the segment's own datum
+    diag[6:9] = sigma_g0 ** 2             # gravity direction
+    diag[15:18] = sigma_v0 ** 2           # velocity
+    diag[18:21] = sigma_bg0 ** 2          # gyro bias
+    diag[21:24] = sigma_ba0 ** 2          # accel bias
+    v_R = (jnp.asarray(v0, dtype) if v0 is not None else st.v_R)
+    return FilterState(
+        q_G=rot_to_quat(jnp.asarray(R, dtype)), p_G=st.p_G,
+        g=jnp.asarray(g, dtype), q_R=st.q_R, p_R=st.p_R, v_R=v_R,
+        bg=st.bg, ba=st.ba, clones=st.clones,
+        P=jnp.asarray(np.diag(diag), dtype),
+        n_clones=jnp.int32(0), frame_idx=jnp.int32(0))
+
+
+def _rodrigues(w: np.ndarray, dt: float) -> np.ndarray:
+    """Small-rotation matrix Exp(w dt), host numpy."""
+    th = np.linalg.norm(w) * dt
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / np.linalg.norm(w)
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def bootstrap_velocity_gravity(cfg: RVIOConfig, imu_w, imu_a, imu_dt,
+                               imu_valid, meas, track_len, valid,
+                               w0: int, n_frames: int
+                               ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Closed-form moving initialization: solve v0 and gravity linearly.
+
+    Martinelli-style visual-inertial bootstrap (no reference equivalent —
+    the reference can only initialize at rest, System.cc:182-249): over a
+    short window starting at frame ``w0``, gyro integration gives the
+    rotations R_t; the landmark coincidence constraint between two
+    observations i0, i of the same feature,
+
+        v0 (t_i0 - t_i) - 0.5 gvec (t_i0^2 - t_i^2)
+            + d_i0 u_i0 - d_i u_i = alpha_i - alpha_i0 + (R_i - R_i0) t_bc
+
+    is LINEAR in v0 (body velocity at the window start, in the start frame),
+    gvec = G * g0 (gravity vector in the start frame), and the per-
+    observation depths d.  alpha is the accelerometer double integral and
+    u = R_t R_bc [z; 1] the bearing in the start frame.  A small dense
+    least-squares over all tracks ending inside the window recovers v0/g0.
+
+    All inputs are host numpy slices of the full sequence arrays.  Returns
+    (v0, g0_unit) or None when there is not enough visual structure.
+    """
+    T = len(imu_dt)
+    G = cfg.imu.gravity
+    R_bc, t_bc = cfg.camera.R_bc, cfg.camera.t_bc
+    hi = min(w0 + n_frames, T)
+
+    # integrate IMU from the start of frame w0's block: per-frame time,
+    # rotation-to-start, and accel double integral
+    t = 0.0
+    R = np.eye(3)
+    alpha = np.zeros(3)
+    beta = np.zeros(3)
+    times, Rs, alphas = {}, {}, {}
+    for g in range(w0, hi):
+        for k in range(imu_w.shape[1]):
+            if not imu_valid[g, k]:
+                continue
+            dt = float(imu_dt[g, k])
+            f = R @ imu_a[g, k]
+            alpha = alpha + beta * dt + 0.5 * f * dt * dt
+            beta = beta + f * dt
+            R = R @ _rodrigues(imu_w[g, k], dt)
+            t += dt
+        i = g - w0
+        times[i], Rs[i], alphas[i] = t, R.copy(), alpha.copy()
+
+    # collect tracks observable in the window; a batch emitted at frame g
+    # holds measurements ENDING at frame g-1 (the track failed or maxed at
+    # g), so measurement j sits at frame g - len + j — matching the filter's
+    # clone association (update runs before frame g's clone is augmented)
+    n_obs = 0
+    obs_cols = []
+    for g in range(w0 + 1, hi):
+        for f in range(meas.shape[1]):
+            if not valid[g, f]:
+                continue
+            ln = int(track_len[g, f])
+            if ln < 2:
+                continue
+            start = g - ln
+            obs = [(start + j - w0, meas[g, f, j]) for j in range(ln)
+                   if start + j >= w0]
+            if len(obs) < 2:
+                continue
+            cols = list(range(n_obs, n_obs + len(obs)))
+            n_obs += len(obs)
+            obs_cols.append((obs, cols))
+
+    if n_obs == 0:
+        return None
+
+    n_unk = 6 + n_obs
+    A_rows, b_rows = [], []
+    for obs, cols in obs_cols:
+        i0, z0 = obs[0]
+        u0 = Rs[i0] @ R_bc @ np.array([z0[0], z0[1], 1.0])
+        for (i, z), c in zip(obs[1:], cols[1:]):
+            ui = Rs[i] @ R_bc @ np.array([z[0], z[1], 1.0])
+            row = np.zeros((3, n_unk))
+            row[:, 0:3] = (times[i0] - times[i]) * np.eye(3)
+            row[:, 3:6] = -0.5 * (times[i0] ** 2 - times[i] ** 2) * np.eye(3)
+            row[:, 6 + cols[0]] = u0
+            row[:, 6 + c] = -ui
+            rhs = alphas[i] - alphas[i0] + (Rs[i] - Rs[i0]) @ t_bc
+            A_rows.append(row)
+            b_rows.append(rhs)
+    if len(A_rows) < 4:
+        return None
+    A = np.concatenate(A_rows, axis=0)
+    b = np.concatenate(b_rows, axis=0)
+    sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+    v0, gvec = sol[0:3], sol[3:6]
+    gn = np.linalg.norm(gvec)
+    if not (0.5 * G < gn < 1.5 * G):   # structure too weak; fall back
+        return None
+    return v0, gvec / gn
+
+
+def make_masked_segment_scan(cfg: RVIOConfig):
+    """Vmapped whole-sequence scan with a per-frame ``ok`` mask.
+
+    ``run(states, bundles, ok) -> (states, outputs)`` where every leaf has a
+    leading segment axis S; frames with ok=False leave the state untouched
+    (used to pad segments to a common static length).
+    """
+    from rvio_tpu.parallel.segment import _step_body
+
+    body = _step_body(cfg)
+
+    def mbody(state, frame):
+        bundle, ok = frame
+        new_st, out = body(state, bundle)
+        st = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_st, state)
+        return st, {**out, "ok": ok}
+
+    def seq(state, bundles, ok):
+        return jax.lax.scan(mbody, state, (bundles, ok))
+
+    return jax.jit(jax.vmap(seq))
+
+
+def segment_plan(T: int, n_segments: int, warmup: int
+                 ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Frame-index plan: (idx (S, W+B), ok (S, W+B), body_len B).
+
+    Segment s's body covers global frames [s*B, min((s+1)*B, T)); its
+    warm-up covers the ``warmup`` frames before the body (clipped at 0, so
+    segment 0's warm-up rows are masked out).  Rows outside [0, T) or beyond
+    the body end are ok=False.
+    """
+    S = n_segments
+    B = math.ceil(T / S)
+    padT = warmup + B
+    idx = np.zeros((S, padT), np.int64)
+    ok = np.zeros((S, padT), bool)
+    for s in range(S):
+        start = s * B - warmup
+        g = start + np.arange(padT)
+        valid = (g >= 0) & (g < min((s + 1) * B, T))
+        idx[s] = np.clip(g, 0, T - 1)
+        ok[s] = valid
+    return idx, ok, B
+
+
+def run_segments_warm(cfg: RVIOConfig, state0: FilterState,
+                      bundles: FrameBundle, n_segments: int, warmup: int,
+                      dtype=jnp.float64, mesh=None,
+                      overlap_fit: Optional[int] = None):
+    """Filter one long bundle-stacked sequence as parallel warm segments.
+
+    state0: the static init for segment 0; bundles: (T, ...) stacked
+    FrameBundle from the init frame.  Returns (stitched_positions (T, 3),
+    outputs dict with leading (S, W+B) axes, info dict).
+    """
+    T = int(bundles.imu.w.shape[0])
+    S = n_segments
+    W = warmup
+    idx, ok, B = segment_plan(T, S, W)
+    OV = overlap_fit if overlap_fit is not None else max(2, min(W // 2, B))
+
+    # per-segment initial states: static init for segment 0, moving init for
+    # the rest — closed-form v0/gravity bootstrap from the warm-up window's
+    # tracks + IMU, falling back to the raw accel direction if degenerate
+    imu_w = np.asarray(bundles.imu.w)
+    imu_a = np.asarray(bundles.imu.a)        # (T, K, 3)
+    imu_dt = np.asarray(bundles.imu.dt)
+    imu_valid = np.asarray(bundles.imu.valid)
+    meas = np.asarray(bundles.batch.meas)
+    track_len = np.asarray(bundles.batch.track_len)
+    bvalid = np.asarray(bundles.batch.valid)
+    L = meas.shape[2]
+    states = [state0]
+    # ~3 s of data makes the linear bootstrap accurate to ~0.1 m/s / 0.5 deg
+    # (shorter windows are too noise-sensitive); must fit inside the warm-up
+    nb = int(np.clip(3.0 * cfg.camera.fps, L + 4, W))
+    for s in range(1, S):
+        w0 = max(s * B - W, 0)
+        boot = bootstrap_velocity_gravity(
+            cfg, imu_w, imu_a, imu_dt, imu_valid, meas, track_len, bvalid,
+            w0, nb)
+        v = imu_valid[w0]
+        a0 = imu_a[w0][v].mean(axis=0) if v.any() else np.array([0, 0, 1.0])
+        if boot is not None:
+            v0, g0u = boot
+            states.append(warm_initialize(cfg, a0, dtype, v0=v0, g0=g0u,
+                                          sigma_g0=0.1, sigma_v0=0.5))
+        else:
+            states.append(warm_initialize(cfg, a0, dtype))
+    from rvio_tpu.parallel.segment import stack_states
+    sstates = stack_states(states)
+
+    sbundles = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[idx]), bundles)
+    sok = jnp.asarray(ok)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        seg_sh = NamedSharding(mesh, P("seg"))
+        sstates = jax.tree.map(lambda x: jax.device_put(x, seg_sh), sstates)
+        sbundles = jax.tree.map(lambda x: jax.device_put(x, seg_sh), sbundles)
+        sok = jax.device_put(sok, seg_sh)
+
+    run = make_masked_segment_scan(cfg)
+    _, outs = run(sstates, sbundles, sok)
+
+    stitched = stitch_warm_outputs(outs, W, B, T, OV)
+    return stitched, outs, {"body_len": B, "warmup": W, "overlap_fit": OV,
+                            "plan_idx": idx, "plan_ok": ok}
+
+
+def _quat_to_rot_np(q: np.ndarray) -> np.ndarray:
+    """JPL (..., 4) xyzw quaternion -> rotation matrices, batched numpy."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3))
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y + w * z)
+    R[..., 0, 2] = 2 * (x * z - w * y)
+    R[..., 1, 0] = 2 * (x * y - w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z + w * x)
+    R[..., 2, 0] = 2 * (x * z + w * y)
+    R[..., 2, 1] = 2 * (y * z - w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def stitch_warm_outputs(outs: dict, W: int, B: int, T: int, OV: int
+                        ) -> np.ndarray:
+    """Join warm-segment outputs into one (T, 3) global trajectory.
+
+    Alignment data: segment s's last OV warm-up frames cover the same
+    global frames as segment s-1's last OV body frames; a 4-DOF fit on
+    positions + world-from-body orientations (q_kG is the {G}->body JPL
+    quaternion, so R_wb = R(q)^T) gives the pairwise boundary transforms,
+    composed by the associative prefix product.
+    """
+    p = np.asarray(outs["p_Gk"])             # (S, W+B, 3)
+    q = np.asarray(outs["q_kG"])             # (S, W+B, 4)
+    S = p.shape[0]
+    R_wb = np.swapaxes(_quat_to_rot_np(q), -1, -2)
+
+    pair = [np.eye(4)]
+    for s in range(1, S):
+        cur_sl = slice(W - OV, W)
+        prev_sl = slice(W + B - OV, W + B)
+        Tf = fit_yaw_transform(p[s, cur_sl], p[s - 1, prev_sl],
+                               R_wb[s, cur_sl], R_wb[s - 1, prev_sl])
+        pair.append(Tf)
+    offsets = prefix_product(np.asarray(pair))
+
+    rows = []
+    for s in range(S):
+        lo, hi = s * B, min((s + 1) * B, T)
+        body = p[s, W:W + (hi - lo)]
+        cum = offsets[s]
+        rows.append((cum[:3, :3] @ body.T).T + cum[:3, 3])
+    return np.concatenate(rows, axis=0)

@@ -129,6 +129,54 @@ def _chunk_body(cfg: RVIOConfig, dtype):
     return body
 
 
+def make_frontend_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
+    """Tracker-only chunk scan: images -> stacked UpdateBatches.
+
+    Same per-frame math and RNG chain as the fused scan, so running this
+    followed by ``make_backend_chunk_scan`` reproduces the fused trajectory
+    exactly — used to measure the front-end/back-end per-frame time split the
+    reference records in time_cost.dat (System.cc:376-379).
+    """
+    _, track_fn = make_tracker(cfg, dtype)
+
+    def body(carry, frame):
+        ts, key = carry
+        key, sub = jax.random.split(key)
+        new_ts, batch, _dbg = track_fn(ts, frame["image"], frame["imu_w"],
+                                       frame["imu_dt"], frame["imu_valid"],
+                                       sub)
+        ok = frame["ok"]
+        ts = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_ts, ts)
+        return (ts, key), batch
+
+    @jax.jit
+    def scan(carry, chunk):
+        return jax.lax.scan(body, carry, chunk)
+
+    return scan
+
+
+def make_backend_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
+    """Filter-only chunk scan: stacked UpdateBatches + IMU -> poses."""
+    step = make_filter_step(cfg, donate=False)
+
+    def body(fs, frame):
+        imu = ImuBlock(w=frame["imu_w"], a=frame["imu_a"],
+                       dt=frame["imu_dt"], valid=frame["imu_valid"])
+        new_fs, out = step(fs, FrameBundle(imu=imu, batch=frame["batch"]))
+        ok = frame["ok"]
+        fs = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_fs, fs)
+        outputs = {"q_kG": out["q_kG"], "p_Gk": out["p_Gk"],
+                   "v_k": out["v_k"], "n_good": out["n_good"], "ok": ok}
+        return fs, outputs
+
+    @jax.jit
+    def scan(fs, chunk):
+        return jax.lax.scan(body, fs, chunk)
+
+    return scan
+
+
 def make_batched_image_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
     """`make_image_chunk_scan` vmapped over a leading segment-batch axis.
 
@@ -157,9 +205,110 @@ def make_batched_image_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
     return scan
 
 
+def _find_init_frame(cfg: RVIOConfig, groups, n: int, dtype):
+    """Host-side init gate: first frame index with a built filter state."""
+    gate = InitializationGate(cfg, dtype)
+    for k in range(n):
+        w, a, dts = groups[k]
+        if len(w) < 2:
+            continue
+        st = gate.feed(w, a, dts)
+        if st is not None:
+            return st, k
+    raise RuntimeError("sequence never initialized")
+
+
+def _imu_chunk_arrays(groups, ks, K: int, dtype):
+    """Pad one chunk's IMU groups into stacked device arrays."""
+    B = len(ks)
+    cw = np.zeros((B, K, 3), np.float64)
+    ca = np.zeros((B, K, 3), np.float64)
+    cdt = np.zeros((B, K), np.float64)
+    cv = np.zeros((B, K), bool)
+    ok = np.zeros(B, bool)
+    for i, k in enumerate(ks):
+        w, a, dts = groups[k]
+        m = min(len(w), K)
+        cw[i, :m] = w[:m]
+        ca[i, :m] = a[:m]
+        cdt[i, :m] = dts[:m]
+        cv[i, :m] = True
+        ok[i] = len(w) >= 2
+    return {"imu_w": jnp.asarray(cw, dtype), "imu_a": jnp.asarray(ca, dtype),
+            "imu_dt": jnp.asarray(cdt, dtype), "imu_valid": jnp.asarray(cv),
+            "ok": jnp.asarray(ok)}
+
+
+def _replay_chunks(cfg: RVIOConfig, dtype, chunk_size: int, seed: int,
+                   groups, cam_t, frame_ids, tracker_state, filter_state,
+                   get_images, timing_split: bool,
+                   progress: bool) -> DriverResult:
+    """Chunked-scan replay core shared by the file and rendered drivers.
+
+    With ``timing_split`` the tracker and filter run as two timed dispatches
+    per chunk (identical math/RNG to the fused scan), giving the real
+    per-frame front-end/back-end ms split the reference writes to
+    time_cost.dat (System.cc:376-379); otherwise one fused dispatch with the
+    whole chunk time attributed to the back-end column.
+    """
+    K = cfg.tpu.imu_block
+    key = jax.random.key(seed)
+    if timing_split:
+        fe_scan = make_frontend_chunk_scan(cfg, dtype)
+        be_scan = make_backend_chunk_scan(cfg, dtype)
+    else:
+        scan = make_image_chunk_scan(cfg, dtype)
+    carry = (tracker_state, filter_state, key)
+
+    rows = []
+    n = frame_ids[-1] + 1 if frame_ids else 0
+    for c0 in range(0, len(frame_ids), chunk_size):
+        ks = frame_ids[c0:c0 + chunk_size]
+        imgs = get_images(ks)
+        chunk = _imu_chunk_arrays(groups, ks, K, dtype)
+        chunk["image"] = jnp.asarray(imgs)
+        if timing_split:
+            ts_c, fs_c, key = carry
+            t0 = time.perf_counter()
+            (ts_c, key), batches = fe_scan((ts_c, key), chunk)
+            jax.block_until_ready(batches)
+            t1 = time.perf_counter()
+            be_chunk = {k: v for k, v in chunk.items() if k != "image"}
+            be_chunk["batch"] = batches
+            fs_c, outs = be_scan(fs_c, be_chunk)
+            jax.block_until_ready(outs["p_Gk"])
+            t2 = time.perf_counter()
+            carry = (ts_c, fs_c, key)
+            fe_ms = (t1 - t0) * 1e3 / max(len(ks), 1)
+            be_ms = (t2 - t1) * 1e3 / max(len(ks), 1)
+        else:
+            t0 = time.perf_counter()
+            carry, outs = scan(carry, chunk)
+            fe_ms = 0.0
+            be_ms = (time.perf_counter() - t0) * 1e3 / max(len(ks), 1)
+        ok = np.asarray(outs["ok"])
+        p = np.asarray(outs["p_Gk"])
+        q = np.asarray(outs["q_kG"])
+        v = np.asarray(outs["v_k"])
+        g = np.asarray(outs["n_good"])
+        for i, k in enumerate(ks):
+            if ok[i]:
+                rows.append((cam_t[k], p[i], q[i], v[i], int(g[i]),
+                             fe_ms, be_ms))
+        if progress and (c0 // chunk_size) % 5 == 0:
+            print(f"chunk {c0 // chunk_size}: frame {ks[-1]}/{n}")
+    if not rows:
+        raise RuntimeError("no frames processed")
+    ts, ps, qs, vs, ng, fe, be = zip(*rows)
+    return DriverResult(np.asarray(ts), np.asarray(ps), np.asarray(qs),
+                        np.asarray(vs), np.asarray(ng), np.asarray(fe),
+                        np.asarray(be))
+
+
 def run_euroc_sequence_scan(cfg: RVIOConfig, seq, dtype=jnp.float32,
                             chunk_size: int = 32, seed: int = 0,
                             progress: bool = False,
+                            timing_split: bool = False,
                             max_frames: Optional[int] = None) -> DriverResult:
     """Replay a sequence through the chunked on-device scan pipeline.
 
@@ -168,31 +317,14 @@ def run_euroc_sequence_scan(cfg: RVIOConfig, seq, dtype=jnp.float32,
     """
     from rvio_tpu.dataio.euroc import load_image
 
-    gate = InitializationGate(cfg, dtype)
     groups = bundle_imu(seq.imu_t, seq.imu_w, seq.imu_a, seq.cam_t,
                         time_offset=cfg.camera.time_offset)
     n = len(seq.cam_t) if max_frames is None else min(max_frames, len(seq.cam_t))
-    K = cfg.tpu.imu_block
+    filter_state, k0 = _find_init_frame(cfg, groups, n, dtype)
 
-    # host-side init gate: find the first frame with filter state
     init_fn, _ = make_tracker(cfg, dtype)
-    filter_state = None
-    k0 = None
-    for k in range(n):
-        w, a, dts = groups[k]
-        if len(w) < 2:
-            continue
-        filter_state = gate.feed(w, a, dts)
-        if filter_state is not None:
-            k0 = k
-            break
-    if filter_state is None:
-        raise RuntimeError("sequence never initialized")
-
     tracker_state, _ = init_fn(jnp.asarray(load_image(seq.cam_files[k0]),
                                            dtype))
-    carry = (tracker_state, filter_state, jax.random.key(seed))
-    scan = make_image_chunk_scan(cfg, dtype)
 
     try:
         from rvio_tpu.dataio.native_loader import BatchLoader
@@ -200,63 +332,59 @@ def run_euroc_sequence_scan(cfg: RVIOConfig, seq, dtype=jnp.float32,
     except Exception:
         loader = None
 
-    def load_chunk(ks):
+    def get_images(ks):
         files = [seq.cam_files[k] for k in ks]
         if loader is not None and len(files) > 1:
             probe = load_image(files[0])
             loader.submit(files[1:], width=probe.shape[1],
                           height=probe.shape[0])
-            imgs = np.concatenate([probe[None], loader.collect()], axis=0)
-        else:
-            imgs = np.stack([load_image(f) for f in files])
-        B = len(ks)
-        cw = np.zeros((B, K, 3), np.float64)
-        ca = np.zeros((B, K, 3), np.float64)
-        cdt = np.zeros((B, K), np.float64)
-        cv = np.zeros((B, K), bool)
-        ok = np.zeros(B, bool)
-        for i, k in enumerate(ks):
-            w, a, dts = groups[k]
-            m = min(len(w), K)
-            cw[i, :m] = w[:m]
-            ca[i, :m] = a[:m]
-            cdt[i, :m] = dts[:m]
-            cv[i, :m] = True
-            ok[i] = len(w) >= 2
-        return {"image": jnp.asarray(imgs),
-                "imu_w": jnp.asarray(cw, dtype),
-                "imu_a": jnp.asarray(ca, dtype),
-                "imu_dt": jnp.asarray(cdt, dtype),
-                "imu_valid": jnp.asarray(cv),
-                "ok": jnp.asarray(ok)}
+            return np.concatenate([probe[None], loader.collect()], axis=0)
+        return np.stack([load_image(f) for f in files])
 
-    rows = []
-    frame_ids = list(range(k0 + 1, n))
-    for c0 in range(0, len(frame_ids), chunk_size):
-        ks = frame_ids[c0:c0 + chunk_size]
-        t0 = time.perf_counter()
-        chunk = load_chunk(ks)
-        carry, outs = scan(carry, chunk)
-        ok = np.asarray(outs["ok"])
-        ms = (time.perf_counter() - t0) * 1e3 / max(len(ks), 1)
-        p = np.asarray(outs["p_Gk"])
-        q = np.asarray(outs["q_kG"])
-        v = np.asarray(outs["v_k"])
-        g = np.asarray(outs["n_good"])
-        for i, k in enumerate(ks):
-            if ok[i]:
-                rows.append((seq.cam_t[k], p[i], q[i], v[i], int(g[i]),
-                             0.0, ms))
-        if progress and (c0 // chunk_size) % 5 == 0:
-            print(f"chunk {c0 // chunk_size}: frame {ks[-1]}/{n}")
-    if loader is not None:
-        loader.close()
-    if not rows:
-        raise RuntimeError("no frames processed")
-    ts, ps, qs, vs, ng, fe, be = zip(*rows)
-    return DriverResult(np.asarray(ts), np.asarray(ps), np.asarray(qs),
-                        np.asarray(vs), np.asarray(ng), np.asarray(fe),
-                        np.asarray(be))
+    try:
+        return _replay_chunks(cfg, dtype, chunk_size, seed, groups, seq.cam_t,
+                              list(range(k0 + 1, n)), tracker_state,
+                              filter_state, get_images, timing_split,
+                              progress)
+    finally:
+        if loader is not None:
+            loader.close()
+
+
+def run_rendered_sequence_scan(cfg: RVIOConfig, sim, dtype=jnp.float32,
+                               chunk_size: int = 32, seed: int = 0,
+                               progress: bool = False,
+                               timing_split: bool = False,
+                               max_frames: Optional[int] = None
+                               ) -> DriverResult:
+    """Run the FULL image pipeline on simulator-rendered frames.
+
+    The flagship accuracy workload: frames are rendered at the configured
+    resolution from the synthetic sequence's landmarks and replayed through
+    the complete production path (CLAHE, pyramid, KLT, RANSAC, lifecycle,
+    filter) — the image-level stand-in for real-EuRoC replay
+    (reference: README.md:70-86) when no dataset is reachable.
+    """
+    from rvio_tpu.dataio.synthetic import render_frame
+
+    groups = bundle_imu(sim.imu_t, sim.imu_w, sim.imu_a, sim.frame_t,
+                        time_offset=cfg.camera.time_offset)
+    n = len(sim.frame_t) if max_frames is None else min(max_frames,
+                                                        len(sim.frame_t))
+    filter_state, k0 = _find_init_frame(cfg, groups, n, dtype)
+
+    def render_u8(k):
+        return np.clip(render_frame(cfg, sim, k), 0, 255).astype(np.uint8)
+
+    init_fn, _ = make_tracker(cfg, dtype)
+    tracker_state, _ = init_fn(jnp.asarray(render_u8(k0), dtype))
+
+    def get_images(ks):
+        return np.stack([render_u8(k) for k in ks])
+
+    return _replay_chunks(cfg, dtype, chunk_size, seed, groups, sim.frame_t,
+                          list(range(k0 + 1, n)), tracker_state, filter_state,
+                          get_images, timing_split, progress)
 
 
 def run_euroc_sequence(cfg: RVIOConfig, seq, dtype=jnp.float32,
