@@ -321,6 +321,36 @@ def _householder_project(Hf, Hx, r):
     return A[:, :3], A[:, 3:-1], A[:, -1]
 
 
+def tsqr_compress(Hw: jnp.ndarray, ro: jnp.ndarray,
+                  block_rows: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blocked TSQR measurement compression: (R, Q^T r) of the stacked model.
+
+    Equivalent to the reference's monolithic Givens QR (Updater.cc:474-529)
+    up to an orthogonal left factor — the EKF update depends only on
+    R^T R = H^T H and R^T (Q^T r) = H^T r, so the result is identical.
+    Instead of one tall (F*2L, 6M) factorization (which faults the TPU
+    runtime at stress sizes like 24000x84 and serializes badly), rows are
+    reduced in a tree: vmapped QRs over row blocks, stack the R factors,
+    repeat — each level is a batch of small dense factorizations the TPU
+    handles well, and the same tree is the Schur-style reduction used when
+    the feature axis is sharded (each shard reduces its rows locally).
+    """
+    C = Hw.shape[1]
+    b = block_rows if block_rows > 0 else 8 * C
+    while Hw.shape[0] > b:
+        N = Hw.shape[0]
+        nb = -(-N // b)
+        Hp = jnp.pad(Hw, ((0, nb * b - N), (0, 0)))
+        rp = jnp.pad(ro, (0, nb * b - N))
+        Q, R = jax.vmap(lambda A: jnp.linalg.qr(A, mode="reduced"))(
+            Hp.reshape(nb, b, C))
+        rn = jnp.einsum("nbc,nb->nc", Q, rp.reshape(nb, b))
+        Hw = R.reshape(nb * C, C)
+        ro = rn.reshape(nb * C)
+    Q1, Rfac = jnp.linalg.qr(Hw, mode="reduced")
+    return Rfac, Q1.T @ ro
+
+
 def msckf_update(state: FilterState, batch: UpdateBatch, *,
                  R_bc: np.ndarray, t_bc: np.ndarray, sigma_im: float,
                  min_clone_states: int, compression: str = "qr",
@@ -440,10 +470,16 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     if compression == "qr":
         # Thin QR of the stacked clone-block Jacobian; R's zero rows (rank
         # deficiency) contribute nothing to the EKF update, matching the
-        # reference's explicit rank cut (Updater.cc:516-527).
-        Q1, Rfac = jnp.linalg.qr(Hw, mode="reduced")
-        Hn_cl = Rfac
-        rn = Q1.T @ ro
+        # reference's explicit rank cut (Updater.cc:516-527).  Tall stacks
+        # go through the blocked TSQR tree (orthogonally equivalent) — one
+        # monolithic QR at e.g. 24000x84 faults the TPU runtime and is
+        # slower everywhere.
+        if Hw.shape[0] > 8 * Hw.shape[1]:
+            Hn_cl, rn = tsqr_compress(Hw, ro)
+        else:
+            Q1, Rfac = jnp.linalg.qr(Hw, mode="reduced")
+            Hn_cl = Rfac
+            rn = Q1.T @ ro
     elif compression == "cholesky":
         # Information-form compression: C = Hw^T Hw = L L^T, Hn = L^T,
         # rn = L^{-1} Hw^T ro.  Exactly equivalent when C has full rank;

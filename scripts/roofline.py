@@ -1,0 +1,180 @@
+"""Roofline accounting for the three fused Pallas kernels (VERDICT r1 item 6).
+
+Measures device peaks empirically on the attached chip (HBM bandwidth via a
+saturating streaming copy, VPU f32 throughput via a long fused FMA chain,
+MXU f32 throughput via a large matmul), then times each fused kernel at
+flagship shapes and reports achieved GFLOP/s / GB/s against those peaks.
+
+FLOP/byte counts are analytic from the kernel shapes (documented inline);
+the VPU numbers count every elementwise op (select/compare/fma alike) since
+they all occupy a VPU lane-slot — the right unit for kernels that do no
+matmuls.  Prints a table; results recorded in BASELINE.md.
+
+Run on TPU: python scripts/roofline.py
+"""
+
+import math
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvio_tpu.config import RVIOConfig
+
+
+def _timeit(fn, *args, iters=30):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    # force one device->host readback (axon tunnel: see BASELINE.md note)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_peaks():
+    # HBM bandwidth: big streaming triad (read 2, write 1)
+    n = 64 * 1024 * 1024  # 256 MB per array
+    x = jnp.ones((n,), jnp.float32)
+    y = jnp.ones((n,), jnp.float32)
+    f = jax.jit(lambda a, b: a * 1.5 + b)
+    t = _timeit(f, x, y, iters=10)
+    hbm = 3 * 4 * n / t / 1e9
+
+    # VPU f32: K fused FMAs per element on a VMEM-sized working set
+    K = 256
+    m = 4 * 1024 * 1024
+
+    @jax.jit
+    def chain(a):
+        acc = a
+        for _ in range(K):
+            acc = acc * 1.0000001 + 1e-7
+        return acc
+
+    t = _timeit(chain, jnp.ones((m,), jnp.float32), iters=10)
+    vpu = 2 * K * m / t / 1e9  # fma = 2 flops
+
+    # MXU f32 (highest precision — what the filter uses)
+    d = 4096
+    A = jnp.ones((d, d), jnp.float32)
+    mm = jax.jit(lambda a, b: jax.lax.dot(a, b,
+                                          precision=jax.lax.Precision.HIGHEST))
+    t = _timeit(mm, A, A, iters=10)
+    mxu = 2 * d ** 3 / t / 1e9
+    return hbm, vpu, mxu
+
+
+def bench_klt(cfg):
+    """Fused per-level LK kernel at flagship shapes."""
+    from rvio_tpu.frontend.image import build_pyramid
+    from rvio_tpu.frontend.klt import klt_track_fused
+    from rvio_tpu.ops.klt_iterate import fused_tile_shape
+
+    rng = np.random.default_rng(0)
+    H, W = cfg.camera.height, cfg.camera.width
+    img1 = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    pyr1 = [jnp.asarray(p) for p in build_pyramid(img1, cfg.tracker.klt_levels)]
+    pyr2 = [jnp.asarray(p) for p in build_pyramid(img2, cfg.tracker.klt_levels)]
+    N = cfg.tracker.num_features
+    pos = jnp.asarray(rng.uniform(40, min(H, W) - 40, (N, 2)), jnp.float32)
+    active = jnp.ones(N, bool)
+    win = cfg.tracker.klt_window
+    it = cfg.tracker.klt_max_iters
+
+    f = jax.jit(lambda p: klt_track_fused(pyr1, pyr2, p, active, win=win,
+                                          max_iters=it,
+                                          eps=cfg.tracker.klt_eps,
+                                          min_eig=cfg.tracker.klt_min_eig))
+    t = _timeit(f, pos)
+
+    # analytic per-iteration elementwise ops (dominant terms), per lane:
+    #   window extraction: 2 axes x ceil(log2(hi)) halving selects over the
+    #     (TH, TW) tile (select = 1 op) + 2-tap bilinear blend (3 fma)
+    #   residual/gradient/Hessian update on the (win+1)^2 support: ~12 ops
+    TH, TW = fused_tile_shape(win)
+    hi = TW - (win + 2)
+    levels = cfg.tracker.klt_levels + 1
+    Npad = -(-N // 128) * 128
+    per_iter = (2 * math.ceil(math.log2(max(hi, 2))) * TH * TW
+                + 3 * (win + 1) ** 2 + 12 * (win + 1) ** 2)
+    flops = levels * it * per_iter * Npad
+    # bytes: tile stacks DMA'd once per level (template+search, f32)
+    bytes_ = levels * 2 * TH * TW * Npad * 4
+    return t, flops, bytes_
+
+
+def bench_lm(cfg):
+    """Pallas LM triangulation at flagship shapes."""
+    from rvio_tpu.ops.lm_triangulate import lm_triangulate_pallas
+
+    rng = np.random.default_rng(1)
+    F = cfg.tracker.max_update_features
+    L = cfg.tracker.max_tracking_length
+    z = jnp.asarray(rng.normal(0, 0.1, (F, L, 2)), jnp.float32)
+    Rc = jnp.asarray(np.tile(np.eye(3), (F, L, 1, 1)), jnp.float32)
+    tc = jnp.asarray(rng.normal(0, 0.1, (F, L, 3)), jnp.float32)
+    tlen = jnp.asarray(rng.integers(3, L + 1, F), jnp.int32)
+    f = jax.jit(lambda z_, rc, tc_, tl: lm_triangulate_pallas(
+        z_, rc, tc_, tl, sigma_im=cfg.camera.sigma_image))
+    t = _timeit(f, z, Rc, tc, tlen)
+
+    Fpad = -(-F // 128) * 128
+    # per LM iteration per (L, lane) element: h = R e + rho t (15 fma),
+    # residual+proj (8), Hproj/HJ/Ht 2x3 jacobians (~60), HTH/HTe
+    # accumulations (~54), masked reductions (~12) -> ~150 ops; plus the
+    # 3x3 adjugate solve (~60 ops on (1, N)) per iteration
+    iters = 10
+    flops = iters * (150 * L + 60) * Fpad
+    bytes_ = (2 + 9 + 3) * L * Fpad * 4 * 2
+    return t, flops, bytes_
+
+
+def bench_gate(cfg):
+    """Pallas Mahalanobis-gate Cholesky at flagship shapes."""
+    from rvio_tpu.ops.spd_solve import batched_quadform_pallas
+
+    rng = np.random.default_rng(2)
+    F = cfg.tracker.max_update_features
+    m = 2 * cfg.tracker.max_tracking_length
+    A = rng.normal(size=(F, m, m))
+    S = jnp.asarray(A @ A.transpose(0, 2, 1) + 10 * np.eye(m), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(F, m)), jnp.float32)
+    f = jax.jit(batched_quadform_pallas)
+    t = _timeit(f, S, r)
+    # cholesky m^3/3 + two triangular solves m^2 + quadform m, per feature
+    flops = F * (m ** 3 / 3 + 2 * m ** 2 + m) * 2
+    bytes_ = F * (m * m + m) * 4 * 2
+    return t, flops, bytes_
+
+
+def main():
+    cfg = RVIOConfig()
+    hbm, vpu, mxu = measure_peaks()
+    print(f"measured peaks: HBM {hbm:.0f} GB/s, VPU f32 {vpu:.0f} GFLOP/s, "
+          f"MXU f32(highest) {mxu:.0f} GFLOP/s")
+    rows = []
+    for name, fn in (("fused KLT (4 lvl x 30 it, N=200)", bench_klt),
+                     ("LM triangulate (F=100, L=15)", bench_lm),
+                     ("gate cholesky (F=100, m=30)", bench_gate)):
+        t, flops, bytes_ = fn(cfg)
+        rows.append((name, t * 1e3, flops / t / 1e9, bytes_ / t / 1e9))
+    print(f"{'kernel':<34} {'ms':>7} {'GFLOP/s':>9} {'%VPU':>6} "
+          f"{'GB/s':>7} {'%HBM':>6}")
+    for name, ms, gf, gb in rows:
+        print(f"{name:<34} {ms:>7.3f} {gf:>9.1f} {100 * gf / vpu:>5.1f}% "
+              f"{gb:>7.2f} {100 * gb / hbm:>5.1f}%")
+
+
+if __name__ == "__main__":
+    main()

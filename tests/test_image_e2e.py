@@ -19,6 +19,42 @@ from rvio_tpu.runtime.image_driver import ImagePipeline
 
 
 @pytest.mark.slow
+def test_fisheye_image_pipeline_end_to_end():
+    """Full tracker+filter on fisheye-rendered frames (Camera.Fisheye: 1).
+
+    The reference supports fisheye via cv::fisheye::undistortPoints
+    (reference: Tracker.cc:114-119); here the equidistant model runs through
+    the whole image pipeline — rendering distorts with the forward model,
+    the tracker undistorts with the iterative inverse — and the trajectory
+    must still track (VERDICT r1 item 9)."""
+    from rvio_tpu.runtime.image_driver import run_rendered_sequence_scan
+
+    cfg = RVIOConfig(
+        imu=ImuConfig(rate_hz=100.0),
+        # equidistant coefficients k1..k4 ride in the (k1,k2,p1,p2) slots
+        camera=CameraConfig(fps=10.0, width=320, height=240, fx=180.0,
+                            fy=180.0, cx=160.0, cy=120.0, is_fisheye=True,
+                            k1=0.03, k2=-0.01, p1=0.002, p2=0.0),
+        tracker=TrackerConfig(num_features=48, max_tracking_length=8,
+                              min_tracking_length=3, min_distance=12.0,
+                              block_size_x=80, block_size_y=60),
+        init=InitConfig(sigma_v0=0.1),
+        tpu=TpuConfig(imu_block=16))
+    sim = simulate_sequence(cfg, duration=9.0, static_time=1.0, ramp_time=1.5,
+                            seed=8, n_landmarks=500, motion_scale=0.5)
+    res = run_rendered_sequence_scan(cfg, sim, dtype=jnp.float64,
+                                     chunk_size=16)
+    assert len(res.timestamps) > 50
+    idx = np.searchsorted(sim.frame_t, res.timestamps)
+    gt = sim.gt_p[idx]
+    span = np.linalg.norm(gt.max(0) - gt.min(0))
+    ate = ate_rmse(res.positions, gt)
+    assert span > 0.5
+    assert ate < 0.25, f"fisheye image-level ATE {ate:.3f} m over {span:.2f} m"
+    assert res.n_good.mean() > 3.0
+
+
+@pytest.mark.slow
 def test_image_pipeline_tracks_trajectory():
     cfg = RVIOConfig(
         imu=ImuConfig(rate_hz=100.0),

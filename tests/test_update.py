@@ -183,6 +183,24 @@ class TestUpdate:
         np.testing.assert_allclose(out_qr.p_G, out_ch.p_G, atol=1e-8)
         np.testing.assert_allclose(out_qr.P, out_ch.P, atol=1e-7)
 
+    def test_tsqr_equivalent_to_direct_qr(self):
+        """Blocked TSQR carries the same information as one monolithic thin
+        QR: R^T R == H^T H and R^T rn == H^T r (the EKF only uses these),
+        including masked-out zero rows like the stacked update produces."""
+        from rvio_tpu.filter.update import tsqr_compress
+        rng = np.random.default_rng(28)
+        C = 84
+        H = rng.normal(size=(3000, C))
+        H[rng.uniform(size=3000) < 0.4] = 0.0      # rejected-feature rows
+        r = rng.normal(size=3000)
+        r[(H == 0).all(axis=1)] = 0.0
+        Rf, rn = tsqr_compress(jnp.asarray(H), jnp.asarray(r))
+        assert Rf.shape == (C, C)
+        np.testing.assert_allclose(np.asarray(Rf.T @ Rf), H.T @ H,
+                                   rtol=1e-9, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(Rf.T @ rn), H.T @ r,
+                                   rtol=1e-9, atol=1e-7)
+
     def test_noisy_update_reduces_error_vs_perturbed_clones(self):
         """Perturb clone positions; the update should pull them back."""
         rng = np.random.default_rng(27)
