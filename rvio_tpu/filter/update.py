@@ -321,20 +321,85 @@ def _householder_project(Hf, Hx, r):
     return A[:, :3], A[:, 3:-1], A[:, -1]
 
 
-def tsqr_compress(Hw: jnp.ndarray, ro: jnp.ndarray,
-                  block_rows: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _cholqr2(A: jnp.ndarray, r: jnp.ndarray
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tall-skinny QR of one block via two-pass Cholesky (CholeskyQR2).
+
+    Returns (R, Q^T r) for A (b, C), r (b,) using ONLY matmuls, Cholesky,
+    and triangular solves — the MXU-native factorization.  XLA's TPU
+    Householder-QR lowering hangs the compiler / faulted the runtime at
+    these shapes (root cause of the round-1 stress fault, see BASELINE.md),
+    so the QR path never calls it on TPU.
+
+    Exactness: with L1 from pass one and G2 = L1^-1 A^T A L1^-T,
+    R = L2^T L1^T satisfies R^T R = L1 G2c L1^T = A^T A exactly (up to
+    rounding) for ANY invertible pass-one factor — first-pass conditioning
+    errors are repaired algebraically, so the safety completion below never
+    biases the EKF.  Exactly-zero columns (masked-out clones) are completed
+    with unit diagonals, which propagates to unit rows of R in those
+    columns; such rows have zero residual and meet identically-zero
+    covariance rows, so the update is unaffected (P's invalid-clone rows
+    are zero by construction, state/filter_state.py).
+    """
+    dtype = A.dtype
+    C = A.shape[-1]
+    eye = jnp.eye(C, dtype=dtype)
+    G = A.T @ A
+    dead = jnp.diag(G) == 0
+    # identity-complete dead columns + tiny relative ridge for f32 chol
+    # robustness (both repaired exactly by the second pass)
+    ridge = 1e-7 * jnp.maximum(jnp.trace(G) / C, 1.0)
+    Gc = G + jnp.diag(jnp.where(dead, 1.0, ridge).astype(dtype))
+    L1 = jnp.linalg.cholesky(Gc)
+    Q1t = jax.scipy.linalg.solve_triangular(L1, A.T, lower=True)   # (C, b)
+    q1r = jax.scipy.linalg.solve_triangular(L1, A.T @ r, lower=True)
+    G2 = Q1t @ Q1t.T
+    # live diag(G2) is ~1 by construction; entries far below are columns
+    # whose information is dominated by the pass-one ridge (or exactly
+    # dead) — complete them and strip below, a rank cut like Updater.cc:516
+    dead2 = jnp.diag(G2) < 1e-6
+    # G2's spectrum lies in [0, 1], but cross-column rank deficiency makes
+    # its smallest eigenvalues exact zeros (minus rounding) — an eps-scale
+    # ridge keeps the Cholesky finite; info error is delta2 * Gc, far below
+    # measurement noise
+    delta2 = 4 * C * jnp.finfo(dtype).eps
+    G2c = G2 + jnp.diag(jnp.where(dead2, 1.0, delta2).astype(dtype))
+    L2 = jnp.linalg.cholesky(G2c)
+    R = L2.T @ L1.T
+    rn = jax.scipy.linalg.solve_triangular(L2, q1r, lower=True)
+    # Completed dead columns produced exact unit rows e_c in R; strip them
+    # so a column dead in THIS block (but live in a sibling block of the
+    # TSQR tree) contributes nothing — matching Householder's zero rows.
+    gone = dead | dead2
+    R = jnp.where(gone[:, None], 0.0, R)
+    rn = jnp.where(gone, 0.0, rn)
+    return R, rn
+
+
+def tsqr_compress(Hw: jnp.ndarray, ro: jnp.ndarray, block_rows: int = 0,
+                  method: str = "householder"
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Blocked TSQR measurement compression: (R, Q^T r) of the stacked model.
 
     Equivalent to the reference's monolithic Givens QR (Updater.cc:474-529)
     up to an orthogonal left factor — the EKF update depends only on
     R^T R = H^T H and R^T (Q^T r) = H^T r, so the result is identical.
-    Instead of one tall (F*2L, 6M) factorization (which faults the TPU
-    runtime at stress sizes like 24000x84 and serializes badly), rows are
-    reduced in a tree: vmapped QRs over row blocks, stack the R factors,
-    repeat — each level is a batch of small dense factorizations the TPU
-    handles well, and the same tree is the Schur-style reduction used when
-    the feature axis is sharded (each shard reduces its rows locally).
+    Instead of one tall (F*2L, 6M) factorization, rows are reduced in a
+    tree: batched block factorizations, stack the R factors, repeat — and
+    the same tree is the Schur-style reduction used when the feature axis
+    is sharded (each shard reduces its rows locally).
+
+    method "householder" uses jnp.linalg.qr per block (bitwise-clean, the
+    CPU/f64 choice); "cholqr2" uses the two-pass Cholesky factorization
+    (:func:`_cholqr2`) — mandatory on TPU, where XLA's Householder-QR
+    lowering hangs the compiler at these shapes (see BASELINE.md).
     """
+    def block_qr(A, r):
+        if method == "cholqr2":
+            return _cholqr2(A, r)
+        Q, R = jnp.linalg.qr(A, mode="reduced")
+        return R, Q.T @ r
+
     C = Hw.shape[1]
     b = block_rows if block_rows > 0 else 8 * C
     while Hw.shape[0] > b:
@@ -342,13 +407,10 @@ def tsqr_compress(Hw: jnp.ndarray, ro: jnp.ndarray,
         nb = -(-N // b)
         Hp = jnp.pad(Hw, ((0, nb * b - N), (0, 0)))
         rp = jnp.pad(ro, (0, nb * b - N))
-        Q, R = jax.vmap(lambda A: jnp.linalg.qr(A, mode="reduced"))(
-            Hp.reshape(nb, b, C))
-        rn = jnp.einsum("nbc,nb->nc", Q, rp.reshape(nb, b))
+        R, rn = jax.vmap(block_qr)(Hp.reshape(nb, b, C), rp.reshape(nb, b))
         Hw = R.reshape(nb * C, C)
         ro = rn.reshape(nb * C)
-    Q1, Rfac = jnp.linalg.qr(Hw, mode="reduced")
-    return Rfac, Q1.T @ ro
+    return block_qr(Hw, ro)
 
 
 def msckf_update(state: FilterState, batch: UpdateBatch, *,
@@ -470,11 +532,14 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     if compression == "qr":
         # Thin QR of the stacked clone-block Jacobian; R's zero rows (rank
         # deficiency) contribute nothing to the EKF update, matching the
-        # reference's explicit rank cut (Updater.cc:516-527).  Tall stacks
-        # go through the blocked TSQR tree (orthogonally equivalent) — one
-        # monolithic QR at e.g. 24000x84 faults the TPU runtime and is
-        # slower everywhere.
-        if Hw.shape[0] > 8 * Hw.shape[1]:
+        # reference's explicit rank cut (Updater.cc:516-527).  On TPU the
+        # factorization is CholeskyQR2-TSQR (XLA's Householder-QR lowering
+        # hangs the compiler at these shapes — root cause of the round-1
+        # stress fault); on CPU tall stacks use the Householder TSQR tree
+        # and small ones a direct thin QR.
+        if jax.default_backend() in ("tpu", "axon"):
+            Hn_cl, rn = tsqr_compress(Hw, ro, method="cholqr2")
+        elif Hw.shape[0] > 8 * Hw.shape[1]:
             Hn_cl, rn = tsqr_compress(Hw, ro)
         else:
             Q1, Rfac = jnp.linalg.qr(Hw, mode="reduced")

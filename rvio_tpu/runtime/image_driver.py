@@ -36,6 +36,15 @@ class ImagePipeline:
         self.key = jax.random.key(seed)
         self.tracker_state = None
         self.filter_state = None
+        # propagation-only step for frames whose IMU group overflows the
+        # static block (dropped-frame gaps): extra blocks pre-integrate, the
+        # final block runs the full step — same math as the reference's
+        # per-sample loop over however many samples arrived
+        from rvio_tpu.filter.propagation import propagate
+        imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
+                      sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
+                      sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa)
+        self._prop_fn = jax.jit(lambda st, blk: propagate(st, blk, **imu_kw))
 
     def process(self, t: float, image: np.ndarray, imu_w, imu_a, imu_dts):
         """Feed one frame; returns (q_kG, p_Gk, v, n_good) or None pre-init."""
@@ -51,6 +60,17 @@ class ImagePipeline:
         # 4x less host->device traffic); the tracker casts on device
         img = jnp.asarray(image)
         K = cfg.tpu.imu_block
+        imu_w = np.asarray(imu_w)
+        imu_a = np.asarray(imu_a)
+        imu_dts = np.asarray(imu_dts)
+        # dropped-frame gap: more samples than the static block — integrate
+        # the surplus through propagation-only sub-steps (oldest first), the
+        # trailing block feeds the normal full step below
+        while len(imu_w) > K:
+            blk = make_imu_block(imu_w[:K], imu_a[:K], imu_dts[:K], K,
+                                 self.dtype)
+            self.filter_state = self._prop_fn(self.filter_state, blk)
+            imu_w, imu_a, imu_dts = imu_w[K:], imu_a[K:], imu_dts[K:]
         n = min(len(imu_w), K)
         # pad on host, transfer once (device .at[].set would be 3 extra
         # round-trips per frame)

@@ -183,6 +183,63 @@ class TestUpdate:
         np.testing.assert_allclose(out_qr.p_G, out_ch.p_G, atol=1e-8)
         np.testing.assert_allclose(out_qr.P, out_ch.P, atol=1e-7)
 
+    def test_cholqr2_tsqr_exact_information(self):
+        """CholeskyQR2-TSQR (the TPU path — XLA TPU QR hangs the compiler)
+        carries exact information: R^T R == H^T H and R^T rn == H^T r on
+        every live column, with dead (exactly-zero) columns completed by
+        zero-effect unit rows."""
+        from rvio_tpu.filter.update import tsqr_compress
+        rng = np.random.default_rng(29)
+        C = 84
+        H = rng.normal(size=(12000, C))
+        H[rng.uniform(size=12000) < 0.5] = 0.0       # rejected features
+        dead_cols = [78, 79, 80, 81, 82, 83]          # invalid clones
+        H[:, dead_cols] = 0.0
+        # make it genuinely ill-conditioned on the live part
+        H[:, 0] *= 1e-4
+        r = rng.normal(size=12000)
+        r[(H == 0).all(axis=1)] = 0.0
+        Rf, rn = tsqr_compress(jnp.asarray(H), jnp.asarray(r),
+                               method="cholqr2")
+        # completion rows are stripped, so the information is exact
+        # EVERYWHERE — dead columns included (zero rows, like Householder)
+        np.testing.assert_allclose(np.asarray(Rf.T @ Rf), H.T @ H,
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(Rf.T @ rn), H.T @ r,
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_cholqr2_update_matches_householder(self):
+        """Full MSCKF update through cholqr2-TSQR equals the Householder-QR
+        update (the completion rows meet zero covariance rows)."""
+        from rvio_tpu.filter import update as U
+        rng = np.random.default_rng(30)
+        state, batch, _ = _scene(rng, noise=5e-4)
+        out_ref, diag_ref = _update(state, batch, "qr")
+
+        orig = U.tsqr_compress
+        try:
+            # force every stack through the cholqr2 tree
+            U_tsqr = lambda H, r, block_rows=0, method="householder": \
+                orig(H, r, block_rows=96, method="cholqr2")
+            U.tsqr_compress = U_tsqr
+            import jax as _jax
+            bk = _jax.default_backend
+
+            class _B:
+                def __call__(self):
+                    return "tpu"
+            _jax.default_backend = lambda: "tpu"
+            try:
+                out_cq, diag_cq = _update(state, batch, "qr")
+            finally:
+                _jax.default_backend = bk
+        finally:
+            U.tsqr_compress = orig
+        assert bool(diag_cq["did_update"]) == bool(diag_ref["did_update"])
+        np.testing.assert_allclose(out_cq.p_G, out_ref.p_G, atol=1e-7)
+        np.testing.assert_allclose(out_cq.v_R, out_ref.v_R, atol=1e-7)
+        np.testing.assert_allclose(out_cq.P, out_ref.P, atol=1e-6)
+
     def test_tsqr_equivalent_to_direct_qr(self):
         """Blocked TSQR carries the same information as one monolithic thin
         QR: R^T R == H^T H and R^T rn == H^T r (the EKF only uses these),
