@@ -158,8 +158,10 @@ class TpuConfig:
     # TPU.  Applies only when use_pallas and running on TPU.
     klt_fused: bool = True
     # Measurement compression: "cholesky" (Gram/information form — pure
-    # MXU, fastest, tiny structural ridge) or "qr" (exact thin QR; known to
-    # fault the TPU runtime at very large stacked sizes, e.g. 800 features).
+    # MXU, fastest at nominal scale, tiny structural ridge) or "qr" (exact
+    # information; on TPU a CholeskyQR2-TSQR tree — XLA's Householder-QR
+    # lowering hangs the TPU compiler at tall shapes — and the faster
+    # choice at stress scale; Householder TSQR/thin-QR on CPU).
     compression: str = "cholesky"
     donate_state: bool = True         # donate state buffers through the jitted step
 

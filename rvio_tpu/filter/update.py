@@ -346,9 +346,12 @@ def _cholqr2(A: jnp.ndarray, r: jnp.ndarray
     eye = jnp.eye(C, dtype=dtype)
     G = A.T @ A
     dead = jnp.diag(G) == 0
-    # identity-complete dead columns + tiny relative ridge for f32 chol
-    # robustness (both repaired exactly by the second pass)
-    ridge = 1e-7 * jnp.maximum(jnp.trace(G) / C, 1.0)
+    # identity-complete dead columns + relative ridge for chol robustness
+    # (both repaired exactly by the second pass).  The ridge must dominate
+    # the Gram's accumulated rounding noise (~sqrt(rows)*eps relative), so
+    # it scales with the dtype eps: ~1e-3 relative in f32, ~2e-12 in f64.
+    ridge = (100 * C * jnp.finfo(dtype).eps) * jnp.maximum(
+        jnp.trace(G) / C, 1.0)
     Gc = G + jnp.diag(jnp.where(dead, 1.0, ridge).astype(dtype))
     L1 = jnp.linalg.cholesky(Gc)
     Q1t = jax.scipy.linalg.solve_triangular(L1, A.T, lower=True)   # (C, b)
