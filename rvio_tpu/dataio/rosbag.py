@@ -1,0 +1,439 @@
+"""Pure-Python rosbag v2.0 reader (no ROS required).
+
+The reference consumes EuRoC exclusively through ``rosbag play`` with topic
+remapping ``/cam0/image_raw -> /camera/image_raw``, ``/imu0 -> /imu``
+(reference: README.md:70-86); its node then deserializes
+``sensor_msgs/Image`` and ``sensor_msgs/Imu`` callbacks
+(reference: src/rvio_mono.cc:54-107).  This module reads the same ``.bag``
+files directly — a user with EuRoC bags on disk does not need ROS, a
+conversion step, or the ASL folders.
+
+Implements the documented rosbag v2.0 container format:
+
+    #ROSBAG V2.0\\n
+    <record>*            record = u32 hlen | header | u32 dlen | data
+    header               fields: u32 flen | name '=' value
+
+Record op codes: 0x03 bag header, 0x05 chunk (compression none|bz2|lz4),
+0x07 connection, 0x02 message data, 0x04 index data, 0x06 chunk info.
+Messages live inside chunks; the reader scans chunks sequentially (no
+index needed) and deserializes the two ROS1 message types the reference
+subscribes to.  bz2 chunks decompress via the stdlib; lz4 requires the
+``lz4`` package (not baked in) and raises a clear error.
+
+A minimal writer is included so the test suite can round-trip synthetic
+bags without any ROS tooling.
+"""
+
+from __future__ import annotations
+
+import bz2
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_MAGIC = b"#ROSBAG V2.0\n"
+
+OP_MSG = 0x02
+OP_BAGHDR = 0x03
+OP_INDEX = 0x04
+OP_CHUNK = 0x05
+OP_CHUNKINFO = 0x06
+OP_CONN = 0x07
+
+
+# ---------------------------------------------------------------------------
+# low-level record plumbing
+# ---------------------------------------------------------------------------
+
+def _parse_header(buf: bytes) -> Dict[bytes, bytes]:
+    fields: Dict[bytes, bytes] = {}
+    off = 0
+    n = len(buf)
+    while off < n:
+        (flen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        fld = buf[off:off + flen]
+        off += flen
+        eq = fld.index(b"=")
+        fields[fld[:eq]] = fld[eq + 1:]
+    return fields
+
+
+def _iter_records(buf: bytes, off: int = 0) -> Iterator[Tuple[Dict[bytes, bytes], bytes]]:
+    n = len(buf)
+    while off < n:
+        (hlen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        header = _parse_header(buf[off:off + hlen])
+        off += hlen
+        (dlen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        data = buf[off:off + dlen]
+        off += dlen
+        yield header, data
+
+
+def _u32(b: bytes) -> int:
+    return struct.unpack("<I", b)[0]
+
+
+def _time(b: bytes) -> float:
+    sec, nsec = struct.unpack("<II", b)
+    return sec + nsec * 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ROS1 message deserialization (only what the reference subscribes to)
+# ---------------------------------------------------------------------------
+
+class _Cursor:
+    __slots__ = ("buf", "off")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.off = 0
+
+    def u8(self) -> int:
+        v = self.buf[self.off]
+        self.off += 1
+        return v
+
+    def u32(self) -> int:
+        (v,) = struct.unpack_from("<I", self.buf, self.off)
+        self.off += 4
+        return v
+
+    def f64(self, n: int = 1) -> np.ndarray:
+        v = np.frombuffer(self.buf, "<f8", count=n, offset=self.off)
+        self.off += 8 * n
+        return v
+
+    def string(self) -> bytes:
+        n = self.u32()
+        v = self.buf[self.off:self.off + n]
+        self.off += n
+        return v
+
+    def bytes_(self, n: int) -> bytes:
+        v = self.buf[self.off:self.off + n]
+        self.off += n
+        return v
+
+    def ros_header(self) -> Tuple[int, float]:
+        """std_msgs/Header: seq, stamp, frame_id."""
+        seq = self.u32()
+        sec = self.u32()
+        nsec = self.u32()
+        self.string()  # frame_id
+        return seq, sec + nsec * 1e-9
+
+
+@dataclass
+class ImuMsg:
+    seq: int
+    stamp: float
+    w: np.ndarray  # (3,) rad/s
+    a: np.ndarray  # (3,) m/s^2
+
+
+@dataclass
+class ImageMsg:
+    seq: int
+    stamp: float
+    encoding: str
+    image: np.ndarray  # (H,W) uint8 for mono8; (H,W,3) for rgb8/bgr8
+
+
+def parse_imu(data: bytes) -> ImuMsg:
+    """sensor_msgs/Imu — the fields rvio_mono.cc:90-100 reads."""
+    c = _Cursor(data)
+    seq, stamp = c.ros_header()
+    c.f64(4)   # orientation quaternion (unused by the reference)
+    c.f64(9)   # orientation covariance
+    w = c.f64(3).copy()
+    c.f64(9)
+    a = c.f64(3).copy()
+    c.f64(9)
+    return ImuMsg(seq=seq, stamp=stamp, w=w, a=a)
+
+
+def parse_image(data: bytes) -> ImageMsg:
+    """sensor_msgs/Image — decoded like cv_bridge MONO8 (rvio_mono.cc:61-74)."""
+    c = _Cursor(data)
+    seq, stamp = c.ros_header()
+    height = c.u32()
+    width = c.u32()
+    encoding = c.string().decode()
+    c.u8()           # is_bigendian
+    step = c.u32()
+    n = c.u32()
+    raw = np.frombuffer(c.bytes_(n), np.uint8)
+    if encoding == "mono8":
+        img = raw.reshape(height, step)[:, :width]
+    elif encoding in ("rgb8", "bgr8"):
+        img = raw.reshape(height, step)[:, :width * 3].reshape(height, width, 3)
+        if encoding == "bgr8":
+            img = img[..., ::-1]
+    elif encoding == "mono16":
+        img16 = raw.view("<u2").reshape(height, step // 2)[:, :width]
+        img = (img16 >> 8).astype(np.uint8)
+    else:
+        raise ValueError(f"unsupported image encoding {encoding!r}")
+    return ImageMsg(seq=seq, stamp=stamp, encoding=encoding, image=img)
+
+
+# ---------------------------------------------------------------------------
+# bag reading
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BagInfo:
+    topics: Dict[str, str]          # topic -> type
+    message_counts: Dict[str, int]  # topic -> count
+    start: Optional[float] = None
+    end: Optional[float] = None
+
+
+def _decompress(header: Dict[bytes, bytes], data: bytes) -> bytes:
+    comp = header.get(b"compression", b"none")
+    if comp == b"none":
+        return data
+    if comp == b"bz2":
+        return bz2.decompress(data)
+    if comp == b"lz4":
+        try:
+            import lz4.frame  # type: ignore
+        except ImportError as e:  # pragma: no cover - package not baked in
+            raise RuntimeError(
+                "bag uses lz4 chunk compression; decompress it first with "
+                "`rosbag decompress` or install the lz4 package") from e
+        return lz4.frame.decompress(data)
+    raise ValueError(f"unknown chunk compression {comp!r}")
+
+
+def _scan(path: str):
+    """Yield (connections, conn_id, time, msgdata) over all chunks."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob.startswith(_MAGIC):
+        raise ValueError(f"{path}: not a rosbag v2.0 file")
+    connections: Dict[int, Dict[bytes, bytes]] = {}
+    for header, data in _iter_records(blob, len(_MAGIC)):
+        op = header[b"op"][0]
+        if op == OP_CONN:
+            connections[_u32(header[b"conn"])] = _parse_header(data)
+        elif op == OP_CHUNK:
+            for ch, cd in _iter_records(_decompress(header, data)):
+                cop = ch[b"op"][0]
+                if cop == OP_CONN:
+                    connections[_u32(ch[b"conn"])] = _parse_header(cd)
+                elif cop == OP_MSG:
+                    yield (connections, _u32(ch[b"conn"]),
+                           _time(ch[b"time"]), cd)
+        elif op == OP_MSG:  # unchunked (rare, writer-crash bags)
+            yield connections, _u32(header[b"conn"]), _time(header[b"time"]), data
+
+
+def bag_info(path: str) -> BagInfo:
+    """Topic inventory of a bag (like ``rosbag info``)."""
+    info = BagInfo(topics={}, message_counts={})
+    for conns, cid, t, _ in _scan(path):
+        c = conns[cid]
+        topic = c[b"topic"].decode()
+        info.topics[topic] = c.get(b"type", b"?").decode()
+        info.message_counts[topic] = info.message_counts.get(topic, 0) + 1
+        info.start = t if info.start is None else min(info.start, t)
+        info.end = t if info.end is None else max(info.end, t)
+    return info
+
+
+@dataclass
+class BagSequence:
+    """In-memory sensor streams from a bag, EurocSequence-compatible.
+
+    ``images`` replaces the ASL loader's ``cam_files`` — frames are decoded
+    straight out of the bag.  Per-sample IMU dt follows the reference's
+    convention: dt[0] = 0 handled downstream (rvio_mono.cc:102-107).
+    """
+    imu_t: np.ndarray
+    imu_w: np.ndarray
+    imu_a: np.ndarray
+    cam_t: np.ndarray
+    images: np.ndarray               # (T, H, W) uint8
+    cam_files: Optional[list] = None  # None: frames are in memory
+    gt_t: Optional[np.ndarray] = None
+    gt_p: Optional[np.ndarray] = None
+    gt_q: Optional[np.ndarray] = None
+    imu_drops: int = 0
+    image_drops: int = 0
+
+
+def load_rosbag(path: str, image_topic: str = "/cam0/image_raw",
+                imu_topic: str = "/imu0", skip_s: float = 0.0,
+                max_frames: Optional[int] = None) -> BagSequence:
+    """Load one camera topic + one IMU topic from a bag.
+
+    Defaults match the EuRoC bags the reference remaps (README.md:73-86).
+    ``skip_s`` drops the first seconds (MH_* sequences need ~40 s).
+    Message-sequence gaps are counted the way rvio_mono.cc:56-59,84-87
+    logs drops.
+    """
+    imu_t: List[float] = []
+    imu_w: List[np.ndarray] = []
+    imu_a: List[np.ndarray] = []
+    cam_t: List[float] = []
+    images: List[np.ndarray] = []
+    drops = [0, 0]
+    last_seq = [None, None]  # imu, image
+
+    for conns, cid, _t, data in _scan(path):
+        topic = conns[cid][b"topic"].decode()
+        if topic == imu_topic:
+            m = parse_imu(data)
+            if last_seq[0] is not None and m.seq > last_seq[0] + 1:
+                drops[0] += m.seq - last_seq[0] - 1
+            last_seq[0] = m.seq
+            imu_t.append(m.stamp)
+            imu_w.append(m.w)
+            imu_a.append(m.a)
+        elif topic == image_topic:
+            if max_frames is not None and len(images) >= max_frames:
+                continue
+            m = parse_image(data)
+            if last_seq[1] is not None and m.seq > last_seq[1] + 1:
+                drops[1] += m.seq - last_seq[1] - 1
+            last_seq[1] = m.seq
+            img = m.image if m.image.ndim == 2 else (
+                m.image.astype(np.float32) @ np.asarray([0.299, 0.587, 0.114],
+                                                        np.float32)
+            ).astype(np.uint8)
+            cam_t.append(m.stamp)
+            images.append(img)
+
+    if not cam_t:
+        raise ValueError(f"{path}: no messages on image topic {image_topic!r}"
+                         f" (topics: {sorted(bag_info(path).topics)})")
+    if len(imu_t) < 2:
+        raise ValueError(f"{path}: no messages on imu topic {imu_topic!r}")
+
+    order = np.argsort(np.asarray(imu_t), kind="stable")
+    seq = BagSequence(
+        imu_t=np.asarray(imu_t)[order], imu_w=np.stack(imu_w)[order],
+        imu_a=np.stack(imu_a)[order], cam_t=np.asarray(cam_t),
+        images=np.stack(images), imu_drops=drops[0], image_drops=drops[1])
+    if skip_s > 0:
+        t0 = seq.cam_t[0] + skip_s
+        ci = int(np.searchsorted(seq.cam_t, t0))
+        ii = int(np.searchsorted(seq.imu_t, t0))
+        seq = BagSequence(imu_t=seq.imu_t[ii:], imu_w=seq.imu_w[ii:],
+                          imu_a=seq.imu_a[ii:], cam_t=seq.cam_t[ci:],
+                          images=seq.images[ci:], imu_drops=seq.imu_drops,
+                          image_drops=seq.image_drops)
+    return seq
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (for tests / synthetic bags)
+# ---------------------------------------------------------------------------
+
+def _field(name: bytes, value: bytes) -> bytes:
+    f = name + b"=" + value
+    return struct.pack("<I", len(f)) + f
+
+
+def _record(fields: List[Tuple[bytes, bytes]], data: bytes) -> bytes:
+    header = b"".join(_field(k, v) for k, v in fields)
+    return (struct.pack("<I", len(header)) + header +
+            struct.pack("<I", len(data)) + data)
+
+
+def _stamp(t: float) -> bytes:
+    sec = int(t)
+    return struct.pack("<II", sec, int(round((t - sec) * 1e9)))
+
+
+def _ser_header(seq: int, t: float, frame_id: bytes = b"") -> bytes:
+    return (struct.pack("<I", seq) + _stamp(t) +
+            struct.pack("<I", len(frame_id)) + frame_id)
+
+
+def serialize_imu(seq: int, t: float, w, a) -> bytes:
+    z4 = np.zeros(4).tobytes()
+    z9 = np.zeros(9).tobytes()
+    return (_ser_header(seq, t) + z4 + z9 +
+            np.asarray(w, "<f8").tobytes() + z9 +
+            np.asarray(a, "<f8").tobytes() + z9)
+
+
+def serialize_image(seq: int, t: float, img: np.ndarray,
+                    encoding: bytes = b"mono8") -> bytes:
+    h, w = img.shape[:2]
+    step = w * (3 if img.ndim == 3 else 1)
+    raw = np.ascontiguousarray(img, np.uint8).tobytes()
+    return (_ser_header(seq, t) + struct.pack("<II", h, w) +
+            struct.pack("<I", len(encoding)) + encoding + b"\x00" +
+            struct.pack("<II", step, len(raw)) + raw)
+
+
+_CONN_TYPES = {
+    b"sensor_msgs/Imu": b"6a62c6daae103f4ff57a132d6f95cec2",
+    b"sensor_msgs/Image": b"060021388200f6f0f447d0fcd9c64743",
+}
+
+
+def write_rosbag(path: str, messages: List[Tuple[str, bytes, float, bytes]],
+                 compression: str = "none", chunk_count: int = 1) -> None:
+    """Write a valid rosbag v2.0: ``messages`` = [(topic, type, t, bytes)].
+
+    Messages are chunked in ``chunk_count`` pieces with the requested chunk
+    compression; connection records are emitted both inside the first chunk
+    and at the tail (as rosbag record does), no index records (readers that
+    need them re-index; ours scans).
+    """
+    conns: Dict[str, int] = {}
+    conn_recs = []
+    for topic, mtype, _t, _d in messages:
+        if topic not in conns:
+            cid = len(conns)
+            conns[topic] = cid
+            chdr = (_field(b"topic", topic.encode()) +
+                    _field(b"type", mtype) +
+                    _field(b"md5sum", _CONN_TYPES.get(mtype, b"*")) +
+                    _field(b"message_definition", b""))
+            conn_recs.append(_record(
+                [(b"op", bytes([OP_CONN])),
+                 (b"conn", struct.pack("<I", cid)),
+                 (b"topic", topic.encode())], chdr))
+
+    per = -(-len(messages) // max(chunk_count, 1))
+    chunks = []
+    for c in range(0, len(messages), per):
+        body = b"" if chunks else b"".join(conn_recs)
+        for topic, _mtype, t, data in messages[c:c + per]:
+            body += _record([(b"op", bytes([OP_MSG])),
+                             (b"conn", struct.pack("<I", conns[topic])),
+                             (b"time", _stamp(t))], data)
+        payload = bz2.compress(body) if compression == "bz2" else body
+        chunks.append(_record(
+            [(b"op", bytes([OP_CHUNK])),
+             (b"compression", compression.encode()),
+             (b"size", struct.pack("<I", len(body)))], payload))
+
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        # bag header record, padded to 4096 bytes with 0x20 as rosbag does
+        bh = [(b"op", bytes([OP_BAGHDR])),
+              (b"index_pos", struct.pack("<Q", 0)),
+              (b"conn_count", struct.pack("<I", len(conns))),
+              (b"chunk_count", struct.pack("<I", len(chunks)))]
+        hdr = b"".join(_field(k, v) for k, v in bh)
+        pad = 4096 - 8 - len(hdr)
+        f.write(struct.pack("<I", len(hdr)) + hdr +
+                struct.pack("<I", pad) + b"\x20" * pad)
+        for ch in chunks:
+            f.write(ch)
+        for r in conn_recs:
+            f.write(r)

@@ -28,6 +28,13 @@ def main(argv=None):
                     help="YAML config (native or reference cv-format)")
     ap.add_argument("--euroc", default=None,
                     help="EuRoC sequence dir (contains mav0/)")
+    ap.add_argument("--rosbag", default=None,
+                    help="rosbag v2.0 file (no ROS needed)")
+    ap.add_argument("--image-topic", default="/cam0/image_raw",
+                    help="rosbag image topic (reference remaps this to "
+                         "/camera/image_raw)")
+    ap.add_argument("--imu-topic", default="/imu0",
+                    help="rosbag IMU topic (reference remaps this to /imu)")
     ap.add_argument("--synthetic", type=float, default=None, metavar="SECONDS",
                     help="run the simulator for SECONDS instead of a dataset")
     ap.add_argument("--sweep", type=int, default=None, metavar="N",
@@ -89,10 +96,17 @@ def main(argv=None):
         ate = ate_rmse(res.positions, gt_aligned)
         print(f"ATE RMSE: {ate * 100:.2f} cm over {len(res.timestamps)} frames "
               f"({len(res.timestamps) / wall:.1f} fps)")
-    elif args.euroc:
-        from rvio_tpu.dataio.euroc import load_euroc
+    elif args.euroc or args.rosbag:
         from rvio_tpu.runtime.image_driver import run_euroc_sequence
-        seq = load_euroc(args.euroc, skip_s=args.skip)
+        if args.rosbag:
+            from rvio_tpu.dataio.rosbag import load_rosbag
+            seq = load_rosbag(args.rosbag, image_topic=args.image_topic,
+                              imu_topic=args.imu_topic, skip_s=args.skip)
+            if seq.imu_drops or seq.image_drops:
+                print(f"drops: {seq.imu_drops} imu, {seq.image_drops} image")
+        else:
+            from rvio_tpu.dataio.euroc import load_euroc
+            seq = load_euroc(args.euroc, skip_s=args.skip)
         res = run_euroc_sequence(cfg, seq, dtype=dtype, progress=True)
         if seq.gt_p is not None:
             from rvio_tpu.eval.ate import ate_rmse
@@ -102,7 +116,7 @@ def main(argv=None):
             ate = ate_rmse(res.positions, gt_aligned)
             print(f"ATE RMSE: {ate * 100:.2f} cm")
     else:
-        ap.error("need --euroc or --synthetic")
+        ap.error("need --euroc, --rosbag, or --synthetic")
 
     # Reference-parity outputs (System.cc:371-379)
     write_tum(os.path.join(args.output, "stamped_pose_ests.dat"),

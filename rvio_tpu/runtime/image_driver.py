@@ -342,17 +342,22 @@ def run_euroc_sequence_scan(cfg: RVIOConfig, seq, dtype=jnp.float32,
     n = len(seq.cam_t) if max_frames is None else min(max_frames, len(seq.cam_t))
     filter_state, k0 = _find_init_frame(cfg, groups, n, dtype)
 
-    init_fn, _ = make_tracker(cfg, dtype)
-    tracker_state, _ = init_fn(jnp.asarray(load_image(seq.cam_files[k0]),
-                                           dtype))
+    mem = getattr(seq, "images", None)  # in-memory frames (rosbag loader)
+    loader = None
+    if mem is None:
+        try:
+            from rvio_tpu.dataio.native_loader import BatchLoader
+            loader = BatchLoader(n_threads=2)
+        except Exception:
+            loader = None
 
-    try:
-        from rvio_tpu.dataio.native_loader import BatchLoader
-        loader = BatchLoader(n_threads=2)
-    except Exception:
-        loader = None
+    init_fn, _ = make_tracker(cfg, dtype)
+    img0 = mem[k0] if mem is not None else load_image(seq.cam_files[k0])
+    tracker_state, _ = init_fn(jnp.asarray(img0, dtype))
 
     def get_images(ks):
+        if mem is not None:
+            return np.stack([mem[k] for k in ks])
         files = [seq.cam_files[k] for k in ks]
         if loader is not None and len(files) > 1:
             probe = load_image(files[0])
@@ -419,14 +424,17 @@ def run_euroc_sequence(cfg: RVIOConfig, seq, dtype=jnp.float32,
     rows = []
     n = len(seq.cam_t) if max_frames is None else min(max_frames, len(seq.cam_t))
 
+    mem = getattr(seq, "images", None)  # in-memory frames (rosbag loader)
     # threaded prefetch of the next image while the filter runs
-    try:
-        from rvio_tpu.dataio.native_loader import BatchLoader
-        loader = BatchLoader(n_threads=2)
-    except Exception:
-        loader = None
+    loader = None
+    if mem is None:
+        try:
+            from rvio_tpu.dataio.native_loader import BatchLoader
+            loader = BatchLoader(n_threads=2)
+        except Exception:
+            loader = None
 
-    next_img = load_image(seq.cam_files[0])
+    next_img = mem[0] if mem is not None else load_image(seq.cam_files[0])
     for k in range(n):
         img = next_img
         if loader is not None and k + 1 < n:
@@ -440,7 +448,9 @@ def run_euroc_sequence(cfg: RVIOConfig, seq, dtype=jnp.float32,
             rows.append((seq.cam_t[k], np.asarray(out["p_Gk"]),
                          np.asarray(out["q_kG"]), np.asarray(out["v_k"]),
                          int(out["n_good"]), 0.0, (t1 - t0) * 1e3))
-        if loader is not None and k + 1 < n:
+        if mem is not None and k + 1 < n:
+            next_img = mem[k + 1]
+        elif loader is not None and k + 1 < n:
             next_img = loader.collect()[0]
         elif k + 1 < n:
             next_img = load_image(seq.cam_files[k + 1])
