@@ -215,11 +215,31 @@ def _decompress(header: Dict[bytes, bytes], data: bytes) -> bytes:
 
 
 def _scan(path: str):
-    """Yield (connections, conn_id, time, msgdata) over all chunks."""
-    with open(path, "rb") as f:
-        blob = f.read()
-    if not blob.startswith(_MAGIC):
+    """Yield (connections, conn_id, time, msgdata) over all chunks.
+
+    The bag is memory-mapped, so only the chunk being decoded is resident —
+    EuRoC bags are 1-3 GB.
+    """
+    import mmap
+
+    f = open(path, "rb")
+    try:
+        blob = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    except ValueError:  # empty file
+        f.close()
         raise ValueError(f"{path}: not a rosbag v2.0 file")
+    if blob[:len(_MAGIC)] != _MAGIC:
+        blob.close()
+        f.close()
+        raise ValueError(f"{path}: not a rosbag v2.0 file")
+    try:
+        yield from _scan_records(blob)
+    finally:
+        blob.close()
+        f.close()
+
+
+def _scan_records(blob):
     connections: Dict[int, Dict[bytes, bytes]] = {}
     for header, data in _iter_records(blob, len(_MAGIC)):
         op = header[b"op"][0]
@@ -235,6 +255,13 @@ def _scan(path: str):
                            _time(ch[b"time"]), cd)
         elif op == OP_MSG:  # unchunked (rare, writer-crash bags)
             yield connections, _u32(header[b"conn"]), _time(header[b"time"]), data
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 2:
+        return img
+    return (img.astype(np.float32)
+            @ np.asarray([0.299, 0.587, 0.114], np.float32)).astype(np.uint8)
 
 
 def bag_info(path: str) -> BagInfo:
@@ -306,12 +333,8 @@ def load_rosbag(path: str, image_topic: str = "/cam0/image_raw",
             if last_seq[1] is not None and m.seq > last_seq[1] + 1:
                 drops[1] += m.seq - last_seq[1] - 1
             last_seq[1] = m.seq
-            img = m.image if m.image.ndim == 2 else (
-                m.image.astype(np.float32) @ np.asarray([0.299, 0.587, 0.114],
-                                                        np.float32)
-            ).astype(np.uint8)
             cam_t.append(m.stamp)
-            images.append(img)
+            images.append(_to_gray(m.image))
 
     if not cam_t:
         raise ValueError(f"{path}: no messages on image topic {image_topic!r}"
@@ -333,6 +356,53 @@ def load_rosbag(path: str, image_topic: str = "/cam0/image_raw",
                           images=seq.images[ci:], imu_drops=seq.imu_drops,
                           image_drops=seq.image_drops)
     return seq
+
+
+def iter_messages(path: str, image_topic: str = "/cam0/image_raw",
+                  imu_topic: str = "/imu0"):
+    """Stream ('imu', ImuMsg) / ('image', ImageMsg) pairs in bag order.
+
+    Constant memory: one decoded chunk at a time (mmap-backed).  Use this
+    to feed a live consumer instead of materializing the whole sequence.
+    """
+    for conns, cid, _t, data in _scan(path):
+        topic = conns[cid][b"topic"].decode()
+        if topic == imu_topic:
+            yield "imu", parse_imu(data)
+        elif topic == image_topic:
+            yield "image", parse_image(data)
+
+
+def play_rosbag(driver, path: str, image_topic: str = "/cam0/image_raw",
+                imu_topic: str = "/imu0", realtime: bool = False,
+                rate: float = 1.0) -> int:
+    """Feed a bag into an OnlineDriver — the ``rosbag play`` equivalent.
+
+    The reference is driven by ``rosbag play`` publishing into its ROS
+    callbacks (reference: README.md:80-86); here messages stream straight
+    into :class:`rvio_tpu.runtime.online.OnlineDriver`'s push API (the
+    consumer spins in another thread).  ``realtime=True`` paces messages at
+    ``rate``× wall-clock like rosbag's clock; the default floods as fast as
+    the consumer drains.  Returns the number of image messages pushed.
+    """
+    import time as _time
+
+    t0 = wall0 = None
+    n_images = 0
+    for kind, m in iter_messages(path, image_topic, imu_topic):
+        if realtime:
+            if t0 is None:
+                t0, wall0 = m.stamp, _time.perf_counter()
+            else:
+                lag = (m.stamp - t0) / rate - (_time.perf_counter() - wall0)
+                if lag > 0:
+                    _time.sleep(lag)
+        if kind == "imu":
+            driver.push_imu(m.stamp, m.w, m.a, seq=m.seq)
+        else:
+            driver.push_image(m.stamp, _to_gray(m.image), seq=m.seq)
+            n_images += 1
+    return n_images
 
 
 # ---------------------------------------------------------------------------

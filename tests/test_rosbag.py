@@ -128,43 +128,52 @@ class TestBagSemantics:
         assert np.all(np.diff(seq.imu_t) >= 0)
 
 
+def _mini_cfg():
+    from rvio_tpu.config import (CameraConfig, ImuConfig, InitConfig,
+                                 TpuConfig, TrackerConfig)
+    return RVIOConfig(
+        imu=ImuConfig(rate_hz=100.0),
+        camera=CameraConfig(fps=10.0, width=160, height=120, fx=100.0,
+                            fy=100.0, cx=80.0, cy=60.0, k1=0.0, k2=0.0,
+                            p1=0.0, p2=0.0),
+        tracker=TrackerConfig(num_features=32, max_tracking_length=6,
+                              min_tracking_length=3, min_distance=10.0,
+                              block_size_x=40, block_size_y=30),
+        init=InitConfig(sigma_v0=0.1),
+        tpu=TpuConfig(imu_block=16))
+
+
+def _write_rendered_bag(path, cfg, sim):
+    from rvio_tpu.dataio.synthetic import render_frame
+    msgs = []
+    for i in range(len(sim.imu_t)):
+        msgs.append(("/imu0", b"sensor_msgs/Imu", float(sim.imu_t[i]),
+                     serialize_imu(i, float(sim.imu_t[i]),
+                                   sim.imu_w[i], sim.imu_a[i])))
+    for k in range(len(sim.frame_t)):
+        u8 = np.clip(render_frame(cfg, sim, k), 0, 255).astype(np.uint8)
+        msgs.append(("/cam0/image_raw", b"sensor_msgs/Image",
+                     float(sim.frame_t[k]),
+                     serialize_image(k, float(sim.frame_t[k]), u8)))
+    msgs.sort(key=lambda m: m[2])
+    write_rosbag(path, msgs, compression="bz2", chunk_count=4)
+
+
 class TestBagEndToEnd:
     def test_bag_replay_matches_rendered_run(self, tmp_path):
         """Write rendered synthetic frames+IMU into a bag, replay via the
         bag path, and compare against the direct rendered-scan driver."""
         import jax.numpy as jnp
-        from rvio_tpu.config import (CameraConfig, ImuConfig, InitConfig,
-                                     TpuConfig, TrackerConfig)
-        from rvio_tpu.dataio.synthetic import simulate_sequence, render_frame
+        from rvio_tpu.dataio.synthetic import simulate_sequence
         from rvio_tpu.runtime.image_driver import (run_euroc_sequence_scan,
                                                    run_rendered_sequence_scan)
 
-        cfg = RVIOConfig(
-            imu=ImuConfig(rate_hz=100.0),
-            camera=CameraConfig(fps=10.0, width=160, height=120, fx=100.0,
-                                fy=100.0, cx=80.0, cy=60.0, k1=0.0, k2=0.0,
-                                p1=0.0, p2=0.0),
-            tracker=TrackerConfig(num_features=32, max_tracking_length=6,
-                                  min_tracking_length=3, min_distance=10.0,
-                                  block_size_x=40, block_size_y=30),
-            init=InitConfig(sigma_v0=0.1),
-            tpu=TpuConfig(imu_block=16))
+        cfg = _mini_cfg()
         sim = simulate_sequence(cfg, duration=6.0, static_time=1.0,
                                 ramp_time=1.0, seed=5, n_landmarks=400,
                                 motion_scale=0.5)
-        msgs = []
-        for i in range(len(sim.imu_t)):
-            msgs.append(("/imu0", b"sensor_msgs/Imu", float(sim.imu_t[i]),
-                         serialize_imu(i, float(sim.imu_t[i]),
-                                       sim.imu_w[i], sim.imu_a[i])))
-        for k in range(len(sim.frame_t)):
-            u8 = np.clip(render_frame(cfg, sim, k), 0, 255).astype(np.uint8)
-            msgs.append(("/cam0/image_raw", b"sensor_msgs/Image",
-                         float(sim.frame_t[k]),
-                         serialize_image(k, float(sim.frame_t[k]), u8)))
-        msgs.sort(key=lambda m: m[2])
         p = str(tmp_path / "sim.bag")
-        write_rosbag(p, msgs, compression="bz2", chunk_count=4)
+        _write_rendered_bag(p, cfg, sim)
 
         seq = load_rosbag(p)
         res_bag = run_euroc_sequence_scan(cfg, seq, dtype=jnp.float64,
@@ -176,3 +185,43 @@ class TestBagEndToEnd:
         # rounding in the serialized messages (ns precision)
         np.testing.assert_allclose(res_bag.positions, res_ref.positions,
                                    atol=1e-6)
+
+    @pytest.mark.slow
+    def test_play_rosbag_streams_into_online_driver(self, tmp_path):
+        """play_rosbag == `rosbag play`: stream a bag into the OnlineDriver
+        and match the offline per-frame replay of the same bag."""
+        import threading
+        import jax.numpy as jnp
+        from rvio_tpu.dataio.rosbag import play_rosbag
+        from rvio_tpu.dataio.synthetic import simulate_sequence
+        from rvio_tpu.runtime.image_driver import run_euroc_sequence
+        from rvio_tpu.runtime.online import OnlineDriver
+
+        cfg = _mini_cfg()
+        sim = simulate_sequence(cfg, duration=5.0, static_time=1.0,
+                                ramp_time=1.0, seed=6, n_landmarks=400,
+                                motion_scale=0.5)
+        p = str(tmp_path / "sim.bag")
+        _write_rendered_bag(p, cfg, sim)
+
+        off = run_euroc_sequence(cfg, load_rosbag(p), dtype=jnp.float64)
+
+        drv = OnlineDriver(cfg, dtype=jnp.float64)
+        done = threading.Event()
+        pushed = []
+
+        def produce():
+            pushed.append(play_rosbag(drv, p))
+            done.set()
+
+        th = threading.Thread(target=produce)
+        th.start()
+        drv.spin(stop_event=done)
+        th.join()
+
+        assert pushed[0] == len(sim.frame_t)
+        assert drv.drops == {"imu": 0, "image": 0}
+        assert len(drv.poses) == len(off.timestamps)
+        np.testing.assert_allclose(
+            np.asarray([p_ for _t, p_, _q in drv.poses]), off.positions,
+            atol=1e-9)
