@@ -50,6 +50,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--noise", action="store_true",
                     help="synthetic: enable IMU+measurement noise")
+    ap.add_argument("--per-frame", action="store_true",
+                    help="dataset replay: one dispatch per frame (live-"
+                         "latency shape) instead of the chunked scan")
     args = ap.parse_args(argv)
 
     import jax
@@ -97,7 +100,8 @@ def main(argv=None):
         print(f"ATE RMSE: {ate * 100:.2f} cm over {len(res.timestamps)} frames "
               f"({len(res.timestamps) / wall:.1f} fps)")
     elif args.euroc or args.rosbag:
-        from rvio_tpu.runtime.image_driver import run_euroc_sequence
+        from rvio_tpu.runtime.image_driver import (run_euroc_sequence,
+                                                   run_euroc_sequence_scan)
         if args.rosbag:
             from rvio_tpu.dataio.rosbag import load_rosbag
             seq = load_rosbag(args.rosbag, image_topic=args.image_topic,
@@ -107,7 +111,11 @@ def main(argv=None):
         else:
             from rvio_tpu.dataio.euroc import load_euroc
             seq = load_euroc(args.euroc, skip_s=args.skip)
-        res = run_euroc_sequence(cfg, seq, dtype=dtype, progress=True)
+        if args.per_frame:
+            res = run_euroc_sequence(cfg, seq, dtype=dtype, progress=True)
+        else:
+            res = run_euroc_sequence_scan(cfg, seq, dtype=dtype,
+                                          progress=True, timing_split=True)
         if seq.gt_p is not None:
             from rvio_tpu.eval.ate import ate_rmse
             gi = np.searchsorted(seq.gt_t, res.timestamps)
