@@ -113,7 +113,7 @@ def box_filter(img: jnp.ndarray, size: int = 3) -> jnp.ndarray:
 
 
 def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 5,
-          n_bins: int = 256) -> jnp.ndarray:
+          n_bins: int = 256, use_pallas: bool = True) -> jnp.ndarray:
     """Contrast-limited adaptive histogram equalization (CLAHE).
 
     Matches cv::createCLAHE(3.0, Size(5,5)) semantics
@@ -121,8 +121,17 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 5,
     redistribution of the clipped mass, CDF LUTs, bilinear interpolation
     between the four surrounding tile mappings.  Input in [0, 255] float;
     output same range.
+
+    On TPU the one-hot halves run as Pallas kernels with VMEM-resident
+    one-hots (ops/clahe.py); the XLA path below materializes them in HBM
+    and serves as the CPU fallback / f64 oracle.
     """
     H, W = img.shape
+    if (use_pallas and jax.default_backend() in ("tpu", "axon")
+            and img.dtype == jnp.float32):
+        from rvio_tpu.ops.clahe import clahe_pallas, clahe_supported
+        if clahe_supported(H, W, grid, n_bins):
+            return clahe_pallas(img, clip_limit, grid, n_bins)
     th = -(-H // grid)          # ceil tile size (OpenCV extends the border)
     tw = -(-W // grid)
     Hp, Wp = th * grid, tw * grid

@@ -85,7 +85,7 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
                        else (img[..., 2], img[..., 1], img[..., 0]))
             img = 0.299 * r + 0.587 * g + 0.114 * b
         if cfg.tracker.enable_equalizer:
-            img = clahe(img, 3.0, 5)
+            img = clahe(img, 3.0, 5, use_pallas=cfg.tpu.use_pallas)
         return tuple(build_pyramid(img, levels))
 
     def detect(img, spacing):

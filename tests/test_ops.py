@@ -142,3 +142,38 @@ class TestSubpixKernel:
         d = np.abs(a - b)
         assert np.median(d) < 1e-3
         assert d.max() < 0.15
+
+
+class TestClaheKernels:
+    """ops/clahe kernels (interpreted) == the XLA clahe path."""
+
+    def _check(self, H, W, grid=5, seed=0):
+        import jax.numpy as jnp
+        from rvio_tpu.frontend.image import clahe
+        from rvio_tpu.ops.clahe import clahe_pallas, clahe_supported
+
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(H // 8, W // 8))
+        img = np.kron(base, np.ones((8, 8)))[:H, :W]
+        img = (img - img.min()) / (img.max() - img.min()) * 230.0 + 10.0
+        img += rng.normal(size=img.shape) * 4.0
+        img = np.clip(img, 0, 255).astype(np.float32)
+        assert clahe_supported(H, W, grid, 256)
+        ref = np.asarray(clahe(jnp.asarray(img), 3.0, grid))
+        out = np.asarray(clahe_pallas(jnp.asarray(img), 3.0, grid,
+                                      interpret=True))
+        # both paths use bf16 one-hot/LUT operands with f32 accumulation;
+        # summation order differs, so allow sub-graylevel slack
+        np.testing.assert_allclose(out, ref, atol=0.75)
+
+    def test_flagship_shape(self):
+        self._check(480, 752)
+
+    def test_unaligned_width(self):
+        # Wp = 5*ceil(130/5) = 130, lane-padded to 256 inside the kernel
+        self._check(120, 130)
+
+    def test_row_padded_shape(self):
+        # H=475 -> th=95? not supported; H=470 -> th=94 unsupported; use
+        # H=440 (th=88, %8==0) with W needing reflect pad (W=750 -> tw=150)
+        self._check(440, 750)
