@@ -30,6 +30,9 @@ def main(argv=None):
                     help="EuRoC sequence dir (contains mav0/)")
     ap.add_argument("--rosbag", default=None,
                     help="rosbag v2.0 file (no ROS needed)")
+    ap.add_argument("--info", default=None, metavar="BAG",
+                    help="print a bag's topic inventory and exit "
+                         "(like `rosbag info`)")
     ap.add_argument("--image-topic", default="/cam0/image_raw",
                     help="rosbag image topic (reference remaps this to "
                          "/camera/image_raw)")
@@ -54,6 +57,16 @@ def main(argv=None):
                     help="dataset replay: one dispatch per frame (live-"
                          "latency shape) instead of the chunked scan")
     args = ap.parse_args(argv)
+
+    if args.info:
+        from rvio_tpu.dataio.rosbag import bag_info
+        info = bag_info(args.info)
+        for t in sorted(info.topics):
+            print(f"{t:32s} {info.topics[t]:24s} "
+                  f"{info.message_counts[t]} msgs")
+        if info.start is not None:
+            print(f"duration: {info.end - info.start:.2f} s")
+        return 0
 
     import jax
     if args.platform:

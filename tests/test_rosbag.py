@@ -225,3 +225,16 @@ class TestBagEndToEnd:
         np.testing.assert_allclose(
             np.asarray([p_ for _t, p_, _q in drv.poses]), off.positions,
             atol=1e-9)
+
+
+class TestBagCli:
+    def test_info_flag(self, tmp_path, capsys):
+        from rvio_tpu.run import main
+        msgs, *_ = _make_messages(n_imu=8, n_img=2)
+        p = str(tmp_path / "i.bag")
+        write_rosbag(p, msgs)
+        assert main(["--info", p]) == 0
+        out = capsys.readouterr().out
+        assert "/imu0" in out and "sensor_msgs/Imu" in out
+        assert "8 msgs" in out
+        assert "duration" in out
