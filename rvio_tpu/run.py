@@ -38,6 +38,9 @@ def main(argv=None):
                          "/camera/image_raw)")
     ap.add_argument("--imu-topic", default="/imu0",
                     help="rosbag IMU topic (reference remaps this to /imu)")
+    ap.add_argument("--set", nargs="+", default=None, metavar="SEQ",
+                    help="batch-replay several sequences (EuRoC dirs and/or "
+                         ".bag files) in lockstep on one chip")
     ap.add_argument("--synthetic", type=float, default=None, metavar="SECONDS",
                     help="run the simulator for SECONDS instead of a dataset")
     ap.add_argument("--sweep", type=int, default=None, metavar="N",
@@ -92,6 +95,38 @@ def main(argv=None):
                                    dtype=dtype, noise=args.noise,
                                    progress=True)
         print(format_table(rows))
+        return 0
+
+    def load_any(path):
+        if path.endswith(".bag"):
+            from rvio_tpu.dataio.rosbag import load_rosbag
+            return load_rosbag(path, image_topic=args.image_topic,
+                               imu_topic=args.imu_topic, skip_s=args.skip)
+        from rvio_tpu.dataio.euroc import load_euroc
+        return load_euroc(path, skip_s=args.skip)
+
+    if args.set:
+        from rvio_tpu.eval.ate import ate_rmse
+        from rvio_tpu.runtime.replay_set import run_sequence_set
+        seqs = [load_any(p) for p in args.set]
+        t0 = time.perf_counter()
+        results = run_sequence_set(cfg, seqs, dtype=dtype, progress=True)
+        wall = time.perf_counter() - t0
+        total = sum(len(r.timestamps) for r in results)
+        print(f"{total} frames / {len(seqs)} sequences in {wall:.1f} s "
+              f"({total / wall:.1f} fps aggregate)")
+        for path, seq, res in zip(args.set, seqs, results):
+            name = os.path.basename(os.path.normpath(path)).replace(".bag", "")
+            line = f"{name:24s} {len(res.timestamps)} frames"
+            if seq.gt_p is not None:
+                gi = np.clip(np.searchsorted(seq.gt_t, res.timestamps), 0,
+                             len(seq.gt_t) - 1)
+                line += f"  ATE {ate_rmse(res.positions, seq.gt_p[gi]) * 100:.2f} cm"
+            print(line)
+            d = os.path.join(args.output, name)
+            os.makedirs(d, exist_ok=True)
+            write_tum(os.path.join(d, "stamped_pose_ests.dat"),
+                      res.timestamps, res.positions, res.quaternions)
         return 0
 
     gt_aligned = None
