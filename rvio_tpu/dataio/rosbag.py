@@ -160,6 +160,37 @@ def parse_imu(data: bytes) -> ImuMsg:
     return ImuMsg(seq=seq, stamp=stamp, w=w, a=a)
 
 
+@dataclass
+class PoseMsg:
+    seq: int
+    stamp: float
+    p: np.ndarray                    # (3,)
+    q: Optional[np.ndarray] = None   # (4,) xyzw, None for position-only
+
+
+def parse_point_stamped(data: bytes) -> PoseMsg:
+    """geometry_msgs/PointStamped (EuRoC /leica/position ground truth)."""
+    c = _Cursor(data)
+    seq, stamp = c.ros_header()
+    return PoseMsg(seq=seq, stamp=stamp, p=c.f64(3).copy())
+
+
+def parse_transform_stamped(data: bytes) -> PoseMsg:
+    """geometry_msgs/TransformStamped (EuRoC /vicon/... ground truth)."""
+    c = _Cursor(data)
+    seq, stamp = c.ros_header()
+    c.string()  # child_frame_id
+    p = c.f64(3).copy()
+    q = c.f64(4).copy()
+    return PoseMsg(seq=seq, stamp=stamp, p=p, q=q)
+
+
+_GT_PARSERS = {
+    b"geometry_msgs/PointStamped": parse_point_stamped,
+    b"geometry_msgs/TransformStamped": parse_transform_stamped,
+}
+
+
 def parse_image(data: bytes) -> ImageMsg:
     """sensor_msgs/Image — decoded like cv_bridge MONO8 (rvio_mono.cc:61-74)."""
     c = _Cursor(data)
@@ -300,24 +331,40 @@ class BagSequence:
 
 def load_rosbag(path: str, image_topic: str = "/cam0/image_raw",
                 imu_topic: str = "/imu0", skip_s: float = 0.0,
-                max_frames: Optional[int] = None) -> BagSequence:
+                max_frames: Optional[int] = None,
+                gt_topic: Optional[str] = "auto") -> BagSequence:
     """Load one camera topic + one IMU topic from a bag.
 
     Defaults match the EuRoC bags the reference remaps (README.md:73-86).
     ``skip_s`` drops the first seconds (MH_* sequences need ~40 s).
     Message-sequence gaps are counted the way rvio_mono.cc:56-59,84-87
     logs drops.
+
+    Ground truth: EuRoC bags carry it as geometry_msgs topics
+    (/vicon/firefly_sbx/firefly_sbx TransformStamped on V*,
+    /leica/position PointStamped on MH*).  ``gt_topic="auto"`` picks the
+    first topic with a known ground-truth message type; pass a topic name
+    to select explicitly or None to skip.
     """
     imu_t: List[float] = []
     imu_w: List[np.ndarray] = []
     imu_a: List[np.ndarray] = []
     cam_t: List[float] = []
     images: List[np.ndarray] = []
+    gt: List[PoseMsg] = []
+    gt_sel = [gt_topic]
     drops = [0, 0]
     last_seq = [None, None]  # imu, image
 
     for conns, cid, _t, data in _scan(path):
-        topic = conns[cid][b"topic"].decode()
+        conn = conns[cid]
+        topic = conn[b"topic"].decode()
+        mtype = conn.get(b"type", b"")
+        if gt_sel[0] == "auto" and mtype in _GT_PARSERS:
+            gt_sel[0] = topic
+        if topic == gt_sel[0] and mtype in _GT_PARSERS:
+            gt.append(_GT_PARSERS[mtype](data))
+            continue
         if topic == imu_topic:
             m = parse_imu(data)
             if last_seq[0] is not None and m.seq > last_seq[0] + 1:
@@ -343,17 +390,30 @@ def load_rosbag(path: str, image_topic: str = "/cam0/image_raw",
         raise ValueError(f"{path}: no messages on imu topic {imu_topic!r}")
 
     order = np.argsort(np.asarray(imu_t), kind="stable")
+    gt_t = gt_p = gt_q = None
+    if gt:
+        go = np.argsort([m.stamp for m in gt], kind="stable")
+        gt_t = np.asarray([gt[i].stamp for i in go])
+        gt_p = np.stack([gt[i].p for i in go])
+        if gt[0].q is not None:
+            gt_q = np.stack([gt[i].q for i in go])
     seq = BagSequence(
         imu_t=np.asarray(imu_t)[order], imu_w=np.stack(imu_w)[order],
         imu_a=np.stack(imu_a)[order], cam_t=np.asarray(cam_t),
-        images=np.stack(images), imu_drops=drops[0], image_drops=drops[1])
+        images=np.stack(images), gt_t=gt_t, gt_p=gt_p, gt_q=gt_q,
+        imu_drops=drops[0], image_drops=drops[1])
     if skip_s > 0:
         t0 = seq.cam_t[0] + skip_s
         ci = int(np.searchsorted(seq.cam_t, t0))
         ii = int(np.searchsorted(seq.imu_t, t0))
+        gi = int(np.searchsorted(gt_t, t0)) if gt_t is not None else 0
         seq = BagSequence(imu_t=seq.imu_t[ii:], imu_w=seq.imu_w[ii:],
                           imu_a=seq.imu_a[ii:], cam_t=seq.cam_t[ci:],
-                          images=seq.images[ci:], imu_drops=seq.imu_drops,
+                          images=seq.images[ci:],
+                          gt_t=None if gt_t is None else gt_t[gi:],
+                          gt_p=None if gt_p is None else gt_p[gi:],
+                          gt_q=None if gt_q is None else gt_q[gi:],
+                          imu_drops=seq.imu_drops,
                           image_drops=seq.image_drops)
     return seq
 
@@ -436,6 +496,16 @@ def serialize_imu(seq: int, t: float, w, a) -> bytes:
     return (_ser_header(seq, t) + z4 + z9 +
             np.asarray(w, "<f8").tobytes() + z9 +
             np.asarray(a, "<f8").tobytes() + z9)
+
+
+def serialize_point_stamped(seq: int, t: float, p) -> bytes:
+    return _ser_header(seq, t) + np.asarray(p, "<f8").tobytes()
+
+
+def serialize_transform_stamped(seq: int, t: float, p, q,
+                                child: bytes = b"") -> bytes:
+    return (_ser_header(seq, t) + struct.pack("<I", len(child)) + child +
+            np.asarray(p, "<f8").tobytes() + np.asarray(q, "<f8").tobytes())
 
 
 def serialize_image(seq: int, t: float, img: np.ndarray,

@@ -238,3 +238,48 @@ class TestBagCli:
         assert "/imu0" in out and "sensor_msgs/Imu" in out
         assert "8 msgs" in out
         assert "duration" in out
+
+
+class TestGroundTruthTopics:
+    def test_vicon_transform_roundtrip_and_autodetect(self, tmp_path):
+        from rvio_tpu.dataio.rosbag import (parse_transform_stamped,
+                                            serialize_transform_stamped)
+        rng = np.random.default_rng(3)
+        msgs, *_ = _make_messages(n_imu=10, n_img=2)
+        ps = rng.normal(size=(20, 3))
+        qs = rng.normal(size=(20, 4))
+        for i in range(20):
+            t = 100.0 + i * 0.05
+            msgs.append(("/vicon/firefly_sbx/firefly_sbx",
+                         b"geometry_msgs/TransformStamped", t,
+                         serialize_transform_stamped(i, t, ps[i], qs[i],
+                                                     b"firefly_sbx")))
+        msgs.sort(key=lambda m: m[2])
+        p = str(tmp_path / "v.bag")
+        write_rosbag(p, msgs)
+        m = parse_transform_stamped(
+            serialize_transform_stamped(1, 2.5, ps[0], qs[0], b"x"))
+        np.testing.assert_allclose(m.p, ps[0])
+        np.testing.assert_allclose(m.q, qs[0])
+
+        seq = load_rosbag(p)          # gt_topic="auto"
+        assert seq.gt_t is not None and len(seq.gt_t) == 20
+        np.testing.assert_allclose(seq.gt_p, ps)
+        np.testing.assert_allclose(seq.gt_q, qs)
+        assert load_rosbag(p, gt_topic=None).gt_t is None
+
+    def test_leica_point_gt_and_skip(self, tmp_path):
+        from rvio_tpu.dataio.rosbag import serialize_point_stamped
+        msgs, *_ = _make_messages(n_imu=100, n_img=6)
+        for i in range(40):
+            t = 100.0 + i * 0.02
+            msgs.append(("/leica/position", b"geometry_msgs/PointStamped", t,
+                         serialize_point_stamped(i, t, [i * 0.1, 0.0, 1.0])))
+        msgs.sort(key=lambda m: m[2])
+        p = str(tmp_path / "l.bag")
+        write_rosbag(p, msgs, compression="bz2")
+        seq = load_rosbag(p)
+        assert seq.gt_q is None and len(seq.gt_t) == 40
+        seq2 = load_rosbag(p, skip_s=0.2)
+        assert seq2.gt_t[0] >= seq2.cam_t[0] - 1e-9
+        assert len(seq2.gt_t) < 40
