@@ -283,3 +283,23 @@ class TestGroundTruthTopics:
         seq2 = load_rosbag(p, skip_s=0.2)
         assert seq2.gt_t[0] >= seq2.cam_t[0] - 1e-9
         assert len(seq2.gt_t) < 40
+
+
+class TestEvalCli:
+    def test_eval_tum_pair(self, tmp_path, capsys):
+        from rvio_tpu.dataio.tum import write_tum
+        from rvio_tpu.eval.__main__ import main as eval_main
+        rng = np.random.default_rng(4)
+        t = np.arange(50) * 0.05
+        gt = np.cumsum(rng.normal(size=(50, 3)) * 0.01, axis=0)
+        q = np.tile([0.0, 0.0, 0.0, 1.0], (50, 1))
+        # estimate = gt under a rigid transform + small noise
+        Rz = np.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+        est = (Rz @ gt.T).T + [1.0, 2.0, 3.0] + rng.normal(size=(50, 3)) * 1e-4
+        write_tum(str(tmp_path / "gt.tum"), t, gt, q)
+        write_tum(str(tmp_path / "est.tum"), t, est, q)
+        assert eval_main([str(tmp_path / "est.tum"),
+                          str(tmp_path / "gt.tum")]) == 0
+        out = capsys.readouterr().out
+        ate = float(out.split("ATE RMSE: ")[1].split(" ")[0])
+        assert ate < 1e-3     # alignment removes the rigid transform
