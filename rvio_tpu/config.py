@@ -163,6 +163,10 @@ class TpuConfig:
     # lowering hangs the TPU compiler at tall shapes — and the faster
     # choice at stress scale; Householder TSQR/thin-QR on CPU).
     compression: str = "cholesky"
+    # IMU propagation as batched term construction + parallel-prefix scans
+    # (log-depth) instead of the reference-shaped per-sample loop; same
+    # math, different fp summation order (filter/propagation.py).
+    parallel_propagation: bool = True
     donate_state: bool = True         # donate state buffers through the jitted step
 
 

@@ -1,9 +1,13 @@
 """IMU propagation: closed-form state integration + covariance recursion.
 
 TPU-native re-design of the reference's per-sample loop
-(reference: src/rvio/PreIntegrator.cc:51-194) as a single ``lax.scan`` over a
-*fixed-size padded* IMU block per frame; padded samples carry ``valid=False``
-and pass the carry through unchanged.  The per-sample math is identical:
+(reference: src/rvio/PreIntegrator.cc:51-194) over a *fixed-size padded*
+IMU block per frame.  Two equivalent evaluations: the default builds every
+per-sample term batched and runs the rotation/covariance chains as
+``lax.associative_scan`` parallel prefixes (log-depth — the serial 16-step
+loop was ~0.5 ms/frame of pure latency in-scan on TPU); ``parallel=False``
+keeps the reference-shaped sequential ``lax.scan`` as the fp-order oracle.
+Padded samples are exact identity steps.  The per-sample math is identical:
 
 - closed-form delta rotation (Rodrigues with small-angle branch),
 - closed-form dp/dv integrals with coefficients f1..f4,
@@ -77,13 +81,35 @@ class _Carry(NamedTuple):
 def propagate(state: FilterState, imu: ImuBlock, *,
               gravity: float, small_angle: float,
               sigma_g: float, sigma_wg: float, sigma_a: float,
-              sigma_wa: float) -> FilterState:
+              sigma_wa: float, parallel: bool = True) -> FilterState:
     """Propagate the state/covariance through one frame's IMU block.
 
     Faithful to reference PreIntegrator::propagate (PreIntegrator.cc:51-194):
     gR and vR are frozen at frame entry; F uses the *pre-sample* running
     (Rk, vk, gk); the state integrals then advance them.
+
+    ``parallel=True`` (default) evaluates the block as batched per-sample
+    term construction + parallel-prefix scans (see
+    :func:`_propagate_parallel`) — same math, log-depth instead of a
+    K-step serial chain; ``parallel=False`` keeps the reference-shaped
+    sequential scan (the fp-order oracle).
     """
+    if parallel:
+        return _propagate_parallel(
+            state, imu, gravity=gravity, small_angle=small_angle,
+            sigma_g=sigma_g, sigma_wg=sigma_wg, sigma_a=sigma_a,
+            sigma_wa=sigma_wa)
+    return _propagate_sequential(
+        state, imu, gravity=gravity, small_angle=small_angle,
+        sigma_g=sigma_g, sigma_wg=sigma_wg, sigma_a=sigma_a,
+        sigma_wa=sigma_wa)
+
+
+def _propagate_sequential(state: FilterState, imu: ImuBlock, *,
+                          gravity: float, small_angle: float,
+                          sigma_g: float, sigma_wg: float, sigma_a: float,
+                          sigma_wa: float) -> FilterState:
+    """Reference-shaped per-sample loop (PreIntegrator.cc:97-179 order)."""
     dtype = state.dtype
     eye3 = jnp.eye(3, dtype=dtype)
 
@@ -172,6 +198,145 @@ def propagate(state: FilterState, imu: ImuBlock, *,
     return FilterState(
         q_G=state.q_G, p_G=state.p_G, g=state.g,
         q_R=rot_to_quat(final.Rk), p_R=final.pk, v_R=final.vk,
+        bg=bg, ba=ba, clones=state.clones, P=P, n_clones=state.n_clones,
+        frame_idx=state.frame_idx,
+    )
+
+
+def _propagate_parallel(state: FilterState, imu: ImuBlock, *,
+                        gravity: float, small_angle: float,
+                        sigma_g: float, sigma_wg: float, sigma_a: float,
+                        sigma_wa: float) -> FilterState:
+    """The same propagation as a parallel prefix (TPU-first restructure).
+
+    The per-sample recursion is a chain of associative operations, so the
+    K-sample loop (K serial stages of tiny 24x24 ops — ~0.5 ms/frame
+    in-scan on TPU) becomes:
+
+    1. all per-sample increments built *batched* (vmapped dR, f1..f4,
+       dp/dv integrand terms, F/Phi/Q blocks — no serial dependency);
+    2. the rotation chain Rk_i = dR_i @ ... @ dR_1 @ R0 and the covariance
+       chain (P -> Phi P Phi^T + Q, composing as
+       (A2,Q2)∘(A1,Q1) = (A2 A1, A2 Q1 A2^T + Q2)) as
+       ``lax.associative_scan`` — log2(K) levels of batched matmuls;
+    3. dv/dp as cumulative sums of rotated increments, and the pre-sample
+       (vk, gk) values F needs recovered in closed form from the prefixes.
+
+    Numerics: identical math to the sequential path with a different
+    floating-point summation order (parity ~1e-13 in f64, tested).
+    """
+    dtype = state.dtype
+    K = imu.w.shape[0]
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye24 = jnp.eye(24, dtype=dtype)
+
+    gR = state.g
+    vR = state.v_R
+    bg, ba = state.bg, state.ba
+    R0 = quat_to_rot(state.q_R)
+    P0 = state.P[:24, :24]
+
+    # Padding is masked purely by zeroing dt: dt=0 gives dR=I, f1..f4=0,
+    # Phi=I, Q=0 — an exact identity step regardless of w/a garbage.
+    dte = jnp.where(imu.valid, imu.dt, 0.0).astype(dtype)
+    w = imu.w.astype(dtype) - bg                      # (K, 3)
+    a = imu.a.astype(dtype) - ba
+
+    wx = skew(w)                                      # (K, 3, 3)
+    wx2 = wx @ wx
+    dRs = delta_rot(w, dte, small_angle)              # (K, 3, 3) batched
+    w1 = jnp.linalg.norm(w, axis=-1)
+    f1, f2, f3, f4 = so3_integration_coeffs(w1, dte, small_angle)
+
+    # rotation prefix: pref_i = dR_i ... dR_1  (combine = later @ earlier)
+    pref = jax.lax.associative_scan(
+        lambda x, y: jnp.einsum("...ij,...jk->...ik", y, x), dRs)
+    Rk = pref @ R0                                    # (K, 3, 3) post-sample
+    prev_R = jnp.concatenate([R0[None], Rk[:-1]], axis=0)
+
+    Dt = jnp.cumsum(dte)                              # (K,) post-sample
+    prev_Dt = Dt - dte
+
+    # dv/dp prefix sums (PreIntegrator.cc:168-173 with the updated Rk)
+    RkT = jnp.swapaxes(Rk, -1, -2)
+    Mv = (dte[:, None, None] * eye3 + f3[:, None, None] * wx
+          + f4[:, None, None] * wx2)
+    ev = jnp.einsum("kij,kjl,kl->ki", RkT, Mv, a)     # dv increments
+    dv = jnp.cumsum(ev, axis=0)                       # (K, 3) post-sample
+    prev_dv = dv - ev
+
+    Mp = ((0.5 * dte ** 2)[:, None, None] * eye3 + f1[:, None, None] * wx
+          + f2[:, None, None] * wx2)
+    ep = prev_dv * dte[:, None] + jnp.einsum("kij,kjl,kl->ki", RkT, Mp, a)
+    dp = jnp.cumsum(ep, axis=0)
+
+    # pre-sample vk/gk for F (the running values the sequential loop carries;
+    # sample 0 uses the frame-entry state, PreIntegrator.cc:63-66)
+    vk_form = jnp.einsum(
+        "kij,kj->ki", prev_R,
+        vR[None] - gravity * gR[None] * prev_Dt[:, None] + prev_dv)
+    gk_form = jnp.einsum("kij,j->ki", prev_R, gR)
+    gk_form = gk_form / jnp.linalg.norm(gk_form, axis=-1, keepdims=True)
+    first = jnp.arange(K) == 0
+    prev_vk = jnp.where(first[:, None], vR[None], vk_form)
+    prev_gk = jnp.where(first[:, None], gR[None], gk_form)
+
+    # batched F/Phi/Q (PreIntegrator.cc:122-142)
+    vx = skew(prev_vk)                                # (K, 3, 3)
+    prev_RT = jnp.swapaxes(prev_R, -1, -2)
+    F = jnp.zeros((K, 24, 24), dtype)
+    F = F.at[:, 9:12, 9:12].set(-wx)
+    F = F.at[:, 9:12, 18:21].set(-eye3)
+    F = F.at[:, 12:15, 9:12].set(-prev_RT @ vx)
+    F = F.at[:, 12:15, 15:18].set(prev_RT)
+    F = F.at[:, 15:18, 6:9].set(-gravity * prev_R)
+    F = F.at[:, 15:18, 9:12].set(-gravity * skew(prev_gk))
+    F = F.at[:, 15:18, 15:18].set(-wx)
+    F = F.at[:, 15:18, 18:21].set(-vx)
+    F = F.at[:, 15:18, 21:24].set(-eye3)
+    Phi = eye24[None] + dte[:, None, None] * F
+
+    sig = jnp.concatenate([
+        jnp.full(3, sigma_g ** 2, dtype), jnp.full(3, sigma_wg ** 2, dtype),
+        jnp.full(3, sigma_a ** 2, dtype), jnp.full(3, sigma_wa ** 2, dtype)])
+    G = jnp.zeros((K, 24, 12), dtype)
+    G = G.at[:, 9:12, 0:3].set(-eye3)
+    G = G.at[:, 15:18, 0:3].set(-vx)
+    G = G.at[:, 15:18, 6:9].set(-eye3)
+    G = G.at[:, 18:21, 3:6].set(eye3)
+    G = G.at[:, 21:24, 9:12].set(eye3)
+    Q = dte[:, None, None] * (G * sig[None, None, :]) @ jnp.swapaxes(G, -1, -2)
+
+    # covariance prefix: (A2,Q2)∘(A1,Q1) = (A2 A1, A2 Q1 A2^T + Q2)
+    def combine(x, y):
+        Ax, Qx = x
+        Ay, Qy = y
+        AyAx = jnp.einsum("...ij,...jk->...ik", Ay, Ax)
+        Qc = jnp.einsum("...ij,...jk,...lk->...il", Ay, Qx, Ay) + Qy
+        return AyAx, Qc
+
+    Psis, Qacc = jax.lax.associative_scan(combine, (Phi, Q))
+    Psi = Psis[-1]
+    P24 = Psi @ P0 @ Psi.T + Qacc[-1]
+
+    # finals (PreIntegrator.cc:171-178 at the last sample)
+    Rk_f = Rk[-1]
+    Dt_f = Dt[-1]
+    dp_f = dp[-1]
+    dv_f = dv[-1]
+    pk = vR * Dt_f - 0.5 * gravity * gR * Dt_f ** 2 + dp_f
+    vk = Rk_f @ (vR - gravity * gR * Dt_f + dv_f)
+
+    P = state.P
+    cross = Psi @ P[:24, 24:]
+    P = P.at[:24, :24].set(P24)
+    P = P.at[:24, 24:].set(cross)
+    P = P.at[24:, :24].set(cross.T)
+    P = 0.5 * (P + P.T)
+
+    return FilterState(
+        q_G=state.q_G, p_G=state.p_G, g=state.g,
+        q_R=rot_to_quat(Rk_f), p_R=pk, v_R=vk,
         bg=bg, ba=ba, clones=state.clones, P=P, n_clones=state.n_clones,
         frame_idx=state.frame_idx,
     )

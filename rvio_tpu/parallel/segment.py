@@ -26,7 +26,8 @@ from rvio_tpu.state import FilterState, augment_window, compose_state
 def _step_body(cfg: RVIOConfig):
     imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
                   sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
-                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa)
+                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa,
+                  parallel=cfg.tpu.parallel_propagation)
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,

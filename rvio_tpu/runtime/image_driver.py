@@ -43,7 +43,8 @@ class ImagePipeline:
         from rvio_tpu.filter.propagation import propagate
         imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
                       sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
-                      sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa)
+                      sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa,
+                      parallel=cfg.tpu.parallel_propagation)
         self._prop_fn = jax.jit(lambda st, blk: propagate(st, blk, **imu_kw))
 
     def process(self, t: float, image: np.ndarray, imu_w, imu_a, imu_dts):

@@ -44,7 +44,8 @@ def make_filter_step(cfg: RVIOConfig, donate: bool = True):
     """
     imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
                   sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
-                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa)
+                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa,
+                  parallel=cfg.tpu.parallel_propagation)
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
@@ -79,7 +80,8 @@ def make_sequence_scan(cfg: RVIOConfig):
     """
     imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
                   sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
-                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa)
+                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa,
+                  parallel=cfg.tpu.parallel_propagation)
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
@@ -108,10 +110,16 @@ def make_batched_sequence_scan(cfg: RVIOConfig):
     so every small matrix op in the step becomes a batched op — amortizing
     the dispatch/latency cost that dominates a lone 108-dim filter.  This is
     the natural offline-replay shape (dataset sequences / long-run segments).
+
+    Propagation runs the sequential form here regardless of
+    ``tpu.parallel_propagation``: the vmap already amortizes per-op latency
+    across segments, so the parallel prefix's extra tree FLOPs only cost
+    (measured: 3.5k vs 3.0k frames/s at B=16).
     """
     imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
                   sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
-                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa)
+                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa,
+                  parallel=False)
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,

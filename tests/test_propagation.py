@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation as ScipyRot
 
 from rvio_tpu.core.quaternion import quat_mul, quat_inv, quat_to_rot
@@ -187,3 +188,66 @@ class TestCovariance:
 
         # First-order transition vs true Jacobian: agree to O(dt^2 |F|^2).
         np.testing.assert_allclose(Phi[:, cols], J[:, cols], atol=5e-6)
+
+
+class TestParallelPropagation:
+    """The parallel-prefix propagation == the sequential oracle."""
+
+    def _random_state_and_block(self, seed, k_valid, K=16):
+        import jax.numpy as jnp
+        from rvio_tpu.state import make_initial_state, FilterState
+        rng = np.random.default_rng(seed)
+        M = 14
+        st = make_initial_state(M, jnp.float64)
+        q = rng.normal(size=4)
+        q = q / np.linalg.norm(q)
+        A = rng.normal(size=(24 + 6 * M, 24 + 6 * M)) * 0.01
+        P = A @ A.T + np.eye(24 + 6 * M) * 1e-6
+        st = FilterState(**{**st.__dict__,
+                            "q_R": jnp.asarray(q),
+                            "p_R": jnp.asarray(rng.normal(size=3) * 0.1),
+                            "v_R": jnp.asarray(rng.normal(size=3)),
+                            "g": jnp.asarray([0.03, -0.02, 0.999]) / np.linalg.norm([0.03, -0.02, 0.999]),
+                            "bg": jnp.asarray(rng.normal(size=3) * 0.01),
+                            "ba": jnp.asarray(rng.normal(size=3) * 0.05),
+                            "P": jnp.asarray(P),
+                            "n_clones": jnp.int32(M)})
+        from rvio_tpu.filter.propagation import make_imu_block
+        w = rng.normal(size=(k_valid, 3)) * 0.8
+        a = rng.normal(size=(k_valid, 3)) * 2.0 + [0, 0, 9.8]
+        dt = np.full(k_valid, 0.005) + rng.uniform(0, 2e-4, size=k_valid)
+        return st, make_imu_block(w, a, dt, K, jnp.float64)
+
+    @pytest.mark.parametrize("k_valid", [1, 7, 11, 16])
+    def test_matches_sequential(self, k_valid):
+        from rvio_tpu.filter.propagation import propagate
+        st, blk = self._random_state_and_block(seed=k_valid, k_valid=k_valid)
+        kw = dict(gravity=9.8082, small_angle=0.001745, sigma_g=1.7e-4,
+                  sigma_wg=1.9e-5, sigma_a=2e-3, sigma_wa=3e-3)
+        seq = propagate(st, blk, parallel=False, **kw)
+        par = propagate(st, blk, parallel=True, **kw)
+        np.testing.assert_allclose(np.asarray(par.q_R), np.asarray(seq.q_R),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(par.p_R), np.asarray(seq.p_R),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(par.v_R), np.asarray(seq.v_R),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(par.P), np.asarray(seq.P),
+                                   rtol=1e-9, atol=1e-13)
+
+    def test_garbage_in_padding_is_ignored(self):
+        import jax.numpy as jnp
+        from rvio_tpu.filter.propagation import ImuBlock, propagate
+        st, blk = self._random_state_and_block(seed=3, k_valid=9)
+        kw = dict(gravity=9.8082, small_angle=0.001745, sigma_g=1.7e-4,
+                  sigma_wg=1.9e-5, sigma_a=2e-3, sigma_wa=3e-3)
+        ref = propagate(st, blk, parallel=True, **kw)
+        # poison padded samples with huge rates/accels and NONZERO dt —
+        # valid=False must mask them (image drivers pad dt with 1/rate)
+        w2 = blk.w.at[9:].set(1e3)
+        a2 = blk.a.at[9:].set(-1e4)
+        dt2 = blk.dt.at[9:].set(0.005)
+        out = propagate(st, ImuBlock(w=w2, a=a2, dt=dt2, valid=blk.valid),
+                        parallel=True, **kw)
+        np.testing.assert_array_equal(np.asarray(out.P), np.asarray(ref.P))
+        np.testing.assert_array_equal(np.asarray(out.p_R), np.asarray(ref.p_R))
