@@ -213,3 +213,38 @@ class TestLaunchHelpers:
         initialize_distributed(num_processes=1)   # no-op path
         lo, hi = host_segment_slice(10)
         assert (lo, hi) == (0, 10)                # single host owns all
+
+
+class TestBatchedSequenceScan:
+    def test_batched_scan_matches_single_scan(self):
+        """make_batched_sequence_scan (sequential propagation inside the
+        vmap) == make_sequence_scan (parallel-prefix propagation) per
+        segment — the two propagation forms must agree through a whole
+        sequence, not just one step."""
+        from rvio_tpu.runtime.step import (make_batched_sequence_scan,
+                                           make_sequence_scan)
+
+        cfg = small_cfg()
+        B = 2
+        sims = [simulate_sequence(cfg, duration=8.0, static_time=1.0, seed=s,
+                                  meas_noise=5e-4, imu_noise=True)
+                for s in (3, 4)]
+        built = [build_bundles(cfg, sim, jnp.float64) for sim in sims]
+        T = min(b[1].imu.w.shape[0] for b in built)
+
+        run1 = make_sequence_scan(cfg)
+        singles = []
+        for st, bundles, _ in built:
+            _, out = run1(jax.tree.map(jnp.copy, st),
+                          jax.tree.map(lambda x: x[:T], bundles))
+            singles.append(np.asarray(out["p_Gk"]))
+
+        vrun = make_batched_sequence_scan(cfg)
+        bstates = stack_states([b[0] for b in built])
+        bbundles = jax.tree.map(
+            lambda *xs: jnp.stack([x[:T] for x in xs], axis=0),
+            *[b[1] for b in built])
+        _, bout = vrun(bstates, bbundles)
+        for s in range(B):
+            np.testing.assert_allclose(np.asarray(bout["p_Gk"][s]),
+                                       singles[s], atol=1e-8)
