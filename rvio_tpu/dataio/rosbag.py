@@ -18,8 +18,10 @@ Record op codes: 0x03 bag header, 0x05 chunk (compression none|bz2|lz4),
 0x07 connection, 0x02 message data, 0x04 index data, 0x06 chunk info.
 Messages live inside chunks; the reader scans chunks sequentially (no
 index needed) and deserializes the two ROS1 message types the reference
-subscribes to.  bz2 chunks decompress via the stdlib; lz4 requires the
-``lz4`` package (not baked in) and raises a clear error.
+subscribes to.  bz2 chunks decompress via the stdlib; lz4 chunks via the
+pure-Python frame/block codec in :mod:`rvio_tpu.dataio.lz4` (the C
+binding is used instead when importable), so all three rosbag chunk
+compressions replay with no external tooling.
 
 A minimal writer is included so the test suite can round-trip synthetic
 bags without any ROS tooling.
@@ -235,13 +237,12 @@ def _decompress(header: Dict[bytes, bytes], data: bytes) -> bytes:
     if comp == b"bz2":
         return bz2.decompress(data)
     if comp == b"lz4":
-        try:
-            import lz4.frame  # type: ignore
-        except ImportError as e:  # pragma: no cover - package not baked in
-            raise RuntimeError(
-                "bag uses lz4 chunk compression; decompress it first with "
-                "`rosbag decompress` or install the lz4 package") from e
-        return lz4.frame.decompress(data)
+        try:  # the C binding when present (fast path; not baked in here)
+            import lz4.frame as _lz4c  # type: ignore
+            return _lz4c.decompress(data)
+        except ImportError:
+            from rvio_tpu.dataio.lz4 import decompress_frame
+            return decompress_frame(data)
     raise ValueError(f"unknown chunk compression {comp!r}")
 
 
@@ -390,6 +391,12 @@ def load_rosbag(path: str, image_topic: str = "/cam0/image_raw",
         raise ValueError(f"{path}: no messages on imu topic {imu_topic!r}")
 
     order = np.argsort(np.asarray(imu_t), kind="stable")
+    # Image order must be monotonic too: bundle_imu and the skip/ATE
+    # searchsorted calls downstream assume sorted cam_t, and bags can store
+    # messages out of receipt order.
+    cam_order = np.argsort(np.asarray(cam_t), kind="stable")
+    cam_t = [cam_t[i] for i in cam_order]
+    images = [images[i] for i in cam_order]
     gt_t = gt_p = gt_q = None
     if gt:
         go = np.argsort([m.stamp for m in gt], kind="stable")
@@ -556,7 +563,13 @@ def write_rosbag(path: str, messages: List[Tuple[str, bytes, float, bytes]],
             body += _record([(b"op", bytes([OP_MSG])),
                              (b"conn", struct.pack("<I", conns[topic])),
                              (b"time", _stamp(t))], data)
-        payload = bz2.compress(body) if compression == "bz2" else body
+        if compression == "bz2":
+            payload = bz2.compress(body)
+        elif compression == "lz4":
+            from rvio_tpu.dataio.lz4 import compress_frame
+            payload = compress_frame(bytes(body))
+        else:
+            payload = body
         chunks.append(_record(
             [(b"op", bytes([OP_CHUNK])),
              (b"compression", compression.encode()),

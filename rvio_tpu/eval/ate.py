@@ -47,6 +47,22 @@ def ate_rmse(est_p: np.ndarray, gt_p: np.ndarray, with_scale: bool = False
     return float(np.sqrt(np.mean(err ** 2)))
 
 
+def match_nearest(gt_t: np.ndarray, est_t: np.ndarray, max_dt: float = 0.02
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Nearest-timestamp matching of estimates to ground truth.
+
+    Returns (gt_indices, ok_mask): for each estimate timestamp, the index of
+    the closest gt timestamp, and whether it is within max_dt.  This is the
+    standard evo-style association; a bare searchsorted (first gt >= t) is
+    biased by up to one gt sample and has no tolerance at sequence edges.
+    """
+    gi = np.clip(np.searchsorted(gt_t, est_t), 1, len(gt_t) - 1)
+    gi = np.where(np.abs(gt_t[gi - 1] - est_t) < np.abs(gt_t[gi] - est_t),
+                  gi - 1, gi)
+    ok = np.abs(gt_t[gi] - est_t) <= max_dt
+    return gi, ok
+
+
 def rpe_rmse(est_p: np.ndarray, gt_p: np.ndarray, delta: int = 20) -> float:
     """Relative pose (translation drift) error RMSE over a frame delta."""
     d_est = est_p[delta:] - est_p[:-delta]

@@ -76,10 +76,11 @@ def run_euroc_sweep(cfg, sequence_dirs: List[str], skips: Optional[List[float]] 
         wall = time.perf_counter() - t0
         ate = rpe = float("nan")
         if seq.gt_p is not None:
-            gi = np.clip(np.searchsorted(seq.gt_t, res.timestamps), 0,
-                         len(seq.gt_t) - 1)
-            ate = ate_rmse(res.positions, seq.gt_p[gi])
-            rpe = rpe_rmse(res.positions, seq.gt_p[gi])
+            from rvio_tpu.eval.ate import match_nearest
+            gi, ok = match_nearest(seq.gt_t, res.timestamps)
+            if ok.sum() >= 3:
+                ate = ate_rmse(res.positions[ok], seq.gt_p[gi][ok])
+                rpe = rpe_rmse(res.positions[ok], seq.gt_p[gi][ok])
         rows.append(SweepRow(d.rstrip("/").split("/")[-1],
                              len(res.timestamps), ate, rpe,
                              len(res.timestamps) / wall,

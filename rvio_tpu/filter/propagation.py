@@ -327,6 +327,15 @@ def _propagate_parallel(state: FilterState, imu: ImuBlock, *,
     pk = vR * Dt_f - 0.5 * gravity * gR * Dt_f ** 2 + dp_f
     vk = Rk_f @ (vR - gravity * gR * Dt_f + dv_f)
 
+    # Zero valid samples: the sequential oracle's frozen carry leaves the
+    # state untouched, but the formulas above would yield pk=0 / vk=R0@vR.
+    # Match the oracle exactly (drivers gate frames with <2 samples, but the
+    # contract is "same math" for any direct caller).
+    has_valid = jnp.any(imu.valid)
+    qk = jnp.where(has_valid, rot_to_quat(Rk_f), state.q_R)
+    pk = jnp.where(has_valid, pk, state.p_R)
+    vk = jnp.where(has_valid, vk, state.v_R)
+
     P = state.P
     cross = Psi @ P[:24, 24:]
     P = P.at[:24, :24].set(P24)
@@ -336,7 +345,7 @@ def _propagate_parallel(state: FilterState, imu: ImuBlock, *,
 
     return FilterState(
         q_G=state.q_G, p_G=state.p_G, g=state.g,
-        q_R=rot_to_quat(Rk_f), p_R=pk, v_R=vk,
+        q_R=qk, p_R=pk, v_R=vk,
         bg=bg, ba=ba, clones=state.clones, P=P, n_clones=state.n_clones,
         frame_idx=state.frame_idx,
     )

@@ -115,13 +115,23 @@ def main(argv=None):
         total = sum(len(r.timestamps) for r in results)
         print(f"{total} frames / {len(seqs)} sequences in {wall:.1f} s "
               f"({total / wall:.1f} fps aggregate)")
+        from rvio_tpu.eval.ate import match_nearest
+        used_names = {}
         for path, seq, res in zip(args.set, seqs, results):
             name = os.path.basename(os.path.normpath(path)).replace(".bag", "")
+            # two inputs with the same basename must not overwrite each other
+            n = used_names.get(name, 0)
+            used_names[name] = n + 1
+            if n:
+                name = f"{name}.{n}"
             line = f"{name:24s} {len(res.timestamps)} frames"
             if seq.gt_p is not None:
-                gi = np.clip(np.searchsorted(seq.gt_t, res.timestamps), 0,
-                             len(seq.gt_t) - 1)
-                line += f"  ATE {ate_rmse(res.positions, seq.gt_p[gi]) * 100:.2f} cm"
+                gi, ok = match_nearest(seq.gt_t, res.timestamps)
+                if ok.sum() >= 3:
+                    line += (f"  ATE {ate_rmse(res.positions[ok], seq.gt_p[gi][ok]) * 100:.2f} cm"
+                             f" ({int(ok.sum())} matched)")
+                else:
+                    line += "  ATE n/a (no gt within tolerance)"
             print(line)
             d = os.path.join(args.output, name)
             os.makedirs(d, exist_ok=True)

@@ -235,6 +235,30 @@ class TestParallelPropagation:
         np.testing.assert_allclose(np.asarray(par.P), np.asarray(seq.P),
                                    rtol=1e-9, atol=1e-13)
 
+    def test_zero_valid_samples_freezes_state(self):
+        """No valid samples: both forms must return the state unchanged.
+
+        The sequential oracle's frozen carry does this by construction; the
+        parallel form's closed-form finals must be masked to match (ADVICE
+        round-2 finding: unmasked they returned p_R=0, v_R=R0@v).
+        """
+        from rvio_tpu.filter.propagation import ImuBlock, propagate
+        st, blk = self._random_state_and_block(seed=5, k_valid=4)
+        empty = ImuBlock(w=blk.w, a=blk.a, dt=blk.dt,
+                         valid=jnp.zeros_like(blk.valid))
+        kw = dict(gravity=9.8082, small_angle=0.001745, sigma_g=1.7e-4,
+                  sigma_wg=1.9e-5, sigma_a=2e-3, sigma_wa=3e-3)
+        for parallel in (False, True):
+            out = propagate(st, empty, parallel=parallel, **kw)
+            np.testing.assert_allclose(np.asarray(out.q_R),
+                                       np.asarray(st.q_R), atol=1e-15)
+            np.testing.assert_allclose(np.asarray(out.p_R),
+                                       np.asarray(st.p_R), atol=1e-15)
+            np.testing.assert_allclose(np.asarray(out.v_R),
+                                       np.asarray(st.v_R), atol=1e-15)
+            np.testing.assert_allclose(np.asarray(out.P), np.asarray(st.P),
+                                       atol=1e-15)
+
     def test_garbage_in_padding_is_ignored(self):
         import jax.numpy as jnp
         from rvio_tpu.filter.propagation import ImuBlock, propagate

@@ -58,7 +58,7 @@ class TestMessageSerialization:
         np.testing.assert_array_equal(m2.image, img[..., ::-1])
 
 
-@pytest.mark.parametrize("compression", ["none", "bz2"])
+@pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
 @pytest.mark.parametrize("chunks", [1, 3])
 class TestBagRoundTrip:
     def test_roundtrip(self, tmp_path, compression, chunks):
@@ -126,6 +126,19 @@ class TestBagSemantics:
         write_rosbag(p, msgs)
         seq = load_rosbag(p)
         assert np.all(np.diff(seq.imu_t) >= 0)
+
+    def test_unsorted_images_sorted_on_load(self, tmp_path):
+        # images out of receipt order must come back time-sorted too:
+        # bundle_imu and the skip/ATE searchsorted calls assume monotone cam_t
+        msgs, _, _, imgs = _make_messages(n_imu=40, n_img=4)
+        img_idx = [i for i, m in enumerate(msgs)
+                   if m[0] == "/cam0/image_raw"]
+        msgs[img_idx[0]], msgs[img_idx[2]] = msgs[img_idx[2]], msgs[img_idx[0]]
+        p = str(tmp_path / "ui.bag")
+        write_rosbag(p, msgs)
+        seq = load_rosbag(p)
+        assert np.all(np.diff(seq.cam_t) > 0)
+        np.testing.assert_array_equal(seq.images, imgs)
 
 
 def _mini_cfg():
