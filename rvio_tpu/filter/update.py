@@ -107,7 +107,8 @@ def _project(h):
     return h[..., :2] / z[..., None]
 
 
-def window_pose_chain(clones: jnp.ndarray, n_clones) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def window_pose_chain(clones: jnp.ndarray, n_clones, parallel: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Prefix-compose the clone window into first-window-frame-relative poses.
 
     Returns (Rw, tw) of shape (M+1, 3, 3)/(M+1, 3): pose transform taking
@@ -116,21 +117,40 @@ def window_pose_chain(clones: jnp.ndarray, n_clones) -> Tuple[jnp.ndarray, jnp.n
     x_{c+1} = R(q)(x_c - p), matching the recursion at Updater.cc:125-132.
     Slots >= n_clones are identity transitions and simply extend the chain
     with its last value (harmless — masked downstream).
+
+    ``parallel`` runs the chain as a ``lax.associative_scan`` over affine
+    maps A_c: x -> R_c x + t_c (t_c = -R_c p_c), whose composition
+    (R_l, t_l)∘(R_e, t_e) = (R_l R_e, R_l t_e + t_l) is associative —
+    log2(M) levels of batched 3x3 matmuls instead of M serial steps (the
+    same restructure as the parallel-prefix IMU propagation; single-stream
+    TPU scans are latency-bound on chains of tiny ops).  Same math,
+    different fp summation order (~1e-15 parity, tested).
     """
     M = clones.shape[0]
     Rc = quat_to_rot(clones[:, :4])
     pc = clones[:, 4:7]
-
-    def step(carry, x):
-        Rw, tw = carry
-        R, p = x
-        Rn = R @ Rw
-        tn = R @ (tw - p)
-        return (Rn, tn), (Rn, tn)
-
     dtype = clones.dtype
     init = (jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype))
-    _, (Rs, ts) = jax.lax.scan(step, init, (Rc, pc))
+
+    if parallel:
+        tc = -jnp.einsum("cij,cj->ci", Rc, pc)
+
+        def combine(e, l):
+            Re, te = e
+            Rl, tl = l
+            return (jnp.einsum("...ij,...jk->...ik", Rl, Re),
+                    jnp.einsum("...ij,...j->...i", Rl, te) + tl)
+
+        Rs, ts = jax.lax.associative_scan(combine, (Rc, tc))
+    else:
+        def step(carry, x):
+            Rw, tw = carry
+            R, p = x
+            Rn = R @ Rw
+            tn = R @ (tw - p)
+            return (Rn, tn), (Rn, tn)
+
+        _, (Rs, ts) = jax.lax.scan(step, init, (Rc, pc))
     Rw = jnp.concatenate([init[0][None], Rs], axis=0)
     tw = jnp.concatenate([init[1][None], ts], axis=0)
     return Rw, tw
@@ -419,7 +439,7 @@ def tsqr_compress(Hw: jnp.ndarray, ro: jnp.ndarray, block_rows: int = 0,
 def msckf_update(state: FilterState, batch: UpdateBatch, *,
                  R_bc: np.ndarray, t_bc: np.ndarray, sigma_im: float,
                  min_clone_states: int, compression: str = "qr",
-                 use_pallas: bool = True):
+                 use_pallas: bool = True, parallel_chains: bool = False):
     """Full measurement update; returns (new_state, diagnostics).
 
     Equivalent to Updater::update (reference: Updater.cc:72-628) plus the
@@ -436,7 +456,7 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     chi2 = jnp.asarray(chi2_gate_thresholds(2 * L, np.float64), dtype)
 
     # ---- window chains (shared across features) ----
-    Rw, tw = window_pose_chain(state.clones, n)
+    Rw, tw = window_pose_chain(state.clones, n, parallel=parallel_chains)
 
     tlen = batch.track_len
     c0 = jnp.where(batch.is_type2, 0, n - (tlen - 1))
@@ -611,5 +631,11 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     diagnostics = {
         "n_good": n_good, "passed": passed, "mahalanobis": D_all,
         "landmarks": pfk_all, "rho": rho_all, "did_update": do_update,
+        # acceptance-distribution counters (front-end quality regressions
+        # must not hide behind a stable ATE — VERDICT r2 weak #5):
+        # candidates that reached the chi2 gate, and the summed track
+        # length of the accepted ones (mean length = sum / n_good).
+        "n_usable": jnp.sum(usable.astype(jnp.int32)),
+        "tl_good_sum": jnp.sum(jnp.where(passed, tlen, 0)),
     }
     return new_state, diagnostics

@@ -115,6 +115,32 @@ class DriverResult:
     frontend_ms: np.ndarray    # (T,) per-frame front-end wall time
     backend_ms: np.ndarray     # (T,) per-frame back-end wall time
     landmarks: Optional[np.ndarray] = None  # (NL,3) world-frame cloud
+    # acceptance-distribution series (image-pipeline drivers only): keys
+    # n_tracked, n_lost, n_new, n_usable, tl_good_sum — each (T,) int
+    diag: Optional[dict] = None
+
+    def acceptance_stats(self) -> dict:
+        """Aggregate front-end quality rates over the run.
+
+        ransac_inlier_rate: KLT+RANSAC survivors / active features;
+        gate_reject_rate: chi2-gate rejections / gate candidates
+        (Updater.cc:404-454 anchor); track_len_mean: mean track length of
+        accepted update features.  NaN when the underlying counters are
+        absent (feature-level replay has no tracker counters).
+        """
+        out = {"n_good_mean": float(self.n_good.mean())}
+        d = self.diag or {}
+        if "n_tracked" in d:
+            att = d["n_tracked"] + d["n_lost"]
+            out["ransac_inlier_rate"] = float(d["n_tracked"].sum()
+                                              / max(att.sum(), 1))
+        if "n_usable" in d:
+            out["gate_reject_rate"] = float(
+                1.0 - self.n_good.sum() / max(d["n_usable"].sum(), 1))
+        if "tl_good_sum" in d:
+            out["track_len_mean"] = float(d["tl_good_sum"].sum()
+                                          / max(self.n_good.sum(), 1))
+        return out
 
 
 def _quat_to_rot_np(q: np.ndarray) -> np.ndarray:

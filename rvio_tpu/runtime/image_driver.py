@@ -23,6 +23,10 @@ from rvio_tpu.runtime.driver import (DriverResult, InitializationGate,
                                      bundle_imu)
 from rvio_tpu.runtime.step import FrameBundle, make_filter_step
 
+# per-frame acceptance counters surfaced by the scan drivers (see
+# DriverResult.acceptance_stats)
+_DIAG_KEYS = ("n_tracked", "n_lost", "n_new", "n_usable", "tl_good_sum")
+
 
 class ImagePipeline:
     """Stateful image-in, pose-out pipeline (one instance per sequence)."""
@@ -134,17 +138,24 @@ def _chunk_body(cfg: RVIOConfig, dtype):
     def body(carry, frame):
         ts, fs, key = carry
         key, sub = jax.random.split(key)
-        new_ts, batch, _dbg = track_fn(ts, frame["image"], frame["imu_w"],
-                                       frame["imu_dt"], frame["imu_valid"],
-                                       sub)
+        new_ts, batch, dbg = track_fn(ts, frame["image"], frame["imu_w"],
+                                      frame["imu_dt"], frame["imu_valid"],
+                                      sub)
         imu = ImuBlock(w=frame["imu_w"], a=frame["imu_a"],
                        dt=frame["imu_dt"], valid=frame["imu_valid"])
         new_fs, out = step(fs, FrameBundle(imu=imu, batch=batch))
         ok = frame["ok"]
         ts = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_ts, ts)
         fs = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_fs, fs)
+        # acceptance-distribution counters ride along (all tiny scalars):
+        # RANSAC survival, refill count, chi2-gate candidates, and the
+        # accepted-track-length sum — so replay surfaces front-end quality,
+        # not just poses (VERDICT r2: regressions must not hide behind ATE)
         outputs = {"q_kG": out["q_kG"], "p_Gk": out["p_Gk"],
-                   "v_k": out["v_k"], "n_good": out["n_good"], "ok": ok}
+                   "v_k": out["v_k"], "n_good": out["n_good"], "ok": ok,
+                   "n_tracked": dbg["n_tracked"], "n_lost": dbg["n_lost"],
+                   "n_new": dbg["n_new"], "n_usable": out["n_usable"],
+                   "tl_good_sum": out["tl_good_sum"]}
         return (ts, fs, key), outputs
 
     return body
@@ -188,7 +199,9 @@ def make_backend_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
         ok = frame["ok"]
         fs = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_fs, fs)
         outputs = {"q_kG": out["q_kG"], "p_Gk": out["p_Gk"],
-                   "v_k": out["v_k"], "n_good": out["n_good"], "ok": ok}
+                   "v_k": out["v_k"], "n_good": out["n_good"], "ok": ok,
+                   "n_usable": out["n_usable"],
+                   "tl_good_sum": out["tl_good_sum"]}
         return fs, outputs
 
     @jax.jit
@@ -312,18 +325,22 @@ def _replay_chunks(cfg: RVIOConfig, dtype, chunk_size: int, seed: int,
         q = np.asarray(outs["q_kG"])
         v = np.asarray(outs["v_k"])
         g = np.asarray(outs["n_good"])
+        dg = {k_: np.asarray(outs[k_]) for k_ in _DIAG_KEYS if k_ in outs}
         for i, k in enumerate(ks):
             if ok[i]:
                 rows.append((cam_t[k], p[i], q[i], v[i], int(g[i]),
-                             fe_ms, be_ms))
+                             fe_ms, be_ms,
+                             {k_: int(v_[i]) for k_, v_ in dg.items()}))
         if progress and (c0 // chunk_size) % 5 == 0:
             print(f"chunk {c0 // chunk_size}: frame {ks[-1]}/{n}")
     if not rows:
         raise RuntimeError("no frames processed")
-    ts, ps, qs, vs, ng, fe, be = zip(*rows)
+    ts, ps, qs, vs, ng, fe, be, dgs = zip(*rows)
+    diag = ({k_: np.asarray([d[k_] for d in dgs]) for k_ in dgs[0]}
+            if dgs[0] else None)
     return DriverResult(np.asarray(ts), np.asarray(ps), np.asarray(qs),
                         np.asarray(vs), np.asarray(ng), np.asarray(fe),
-                        np.asarray(be))
+                        np.asarray(be), diag=diag)
 
 
 def run_euroc_sequence_scan(cfg: RVIOConfig, seq, dtype=jnp.float32,

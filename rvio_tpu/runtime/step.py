@@ -50,7 +50,8 @@ def make_filter_step(cfg: RVIOConfig, donate: bool = True):
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
                   compression=cfg.tpu.compression,
-                  use_pallas=cfg.tpu.use_pallas)
+                  use_pallas=cfg.tpu.use_pallas,
+                  parallel_chains=cfg.tpu.parallel_propagation)
 
     def step(state: FilterState, bundle: FrameBundle
              ) -> Tuple[FilterState, dict]:
@@ -62,7 +63,8 @@ def make_filter_step(cfg: RVIOConfig, donate: bool = True):
             "q_kG": q_kG, "p_Gk": p_Gk, "v_k": vk,
             "n_good": diag["n_good"], "did_update": diag["did_update"],
             "landmarks": diag["landmarks"], "landmark_ok": diag["passed"],
-            "rho": diag["rho"],
+            "rho": diag["rho"], "n_usable": diag["n_usable"],
+            "tl_good_sum": diag["tl_good_sum"],
         }
         return st, outputs
 
@@ -86,7 +88,8 @@ def make_sequence_scan(cfg: RVIOConfig):
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
                   compression=cfg.tpu.compression,
-                  use_pallas=cfg.tpu.use_pallas)
+                  use_pallas=cfg.tpu.use_pallas,
+                  parallel_chains=cfg.tpu.parallel_propagation)
 
     def body(state, bundle):
         st = propagate(state, bundle.imu, **imu_kw)

@@ -28,16 +28,22 @@ import numpy as np
 from rvio_tpu.config import RVIOConfig
 
 
+def _readback(out):
+    # A device->host readback is required for honest timing through the
+    # axon tunnel (BASELINE.md note) — but it must be a SCALAR: converting
+    # a full output array rides the ~30 MB/s dev-tunnel RPC link and
+    # swamps the kernel time (a 1.4 MB image costs ~45 ms of transfer).
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def _timeit(fn, *args, iters=30):
     out = fn(*args)
-    jax.block_until_ready(out)
-    # force one device->host readback (axon tunnel: see BASELINE.md note)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    _readback(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    _readback(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -158,6 +164,51 @@ def bench_gate(cfg):
     return t, flops, bytes_
 
 
+def bench_clahe(cfg):
+    """Pallas CLAHE (hist + apply) at the flagship image size."""
+    from rvio_tpu.ops.clahe import clahe_pallas
+
+    rng = np.random.default_rng(3)
+    H, W = cfg.camera.height, cfg.camera.width
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    f = jax.jit(lambda x: clahe_pallas(x, 3.0, 5))
+    t = _timeit(f, img)
+    g, n_bins = 5, 256
+    th, tw = -(-H // g), -(-W // g)
+    Hp, Wpx = th * g, -(-(tw * g) // 128) * 128
+    # hist pass: per 8-row chunk, (256, Wpx) one-hot build (~3 ops/elem)
+    # + matmul (256, Wpx) @ (Wpx, g) per row-tile... count the one-hot
+    # build as VPU work and the two matmul contractions as MXU work; the
+    # apply pass is the same shape again (LUT one-hot + two contractions).
+    onehot_ops = 2 * 3 * n_bins * Hp * Wpx          # both passes
+    mm_flops = 2 * 2 * Hp * Wpx * n_bins            # hist: x->bins contract
+    flops = onehot_ops + mm_flops
+    # bytes: image read twice + written once + LUT/weight small tensors
+    bytes_ = (3 * Hp * Wpx) * 4
+    return t, flops, bytes_
+
+
+def bench_tile_gather(cfg):
+    """Tile-gather DMA kernel at the fused-KLT level-0 shape."""
+    from rvio_tpu.ops.tile_gather import gather_tiles_narrow_pallas
+
+    rng = np.random.default_rng(4)
+    H, W = cfg.camera.height, cfg.camera.width
+    Wp = -(-W // 128) * 128 + 256
+    img = jnp.asarray(rng.uniform(0, 255, (H, Wp)), jnp.float32)
+    N = cfg.tracker.num_features
+    from rvio_tpu.ops.klt_iterate import fused_tile_shape
+    th, tw = fused_tile_shape(cfg.tracker.klt_window)
+    origin = jnp.asarray(
+        np.stack([rng.integers(0, W - tw, N), rng.integers(0, H - th, N)],
+                 axis=1), jnp.int32)
+    f = jax.jit(lambda o: gather_tiles_narrow_pallas(img, o, th=th, tw=tw))
+    t = _timeit(f, origin)
+    # pure DMA: reads a (th, 256) band + writes a (th, tw) tile per feature
+    bytes_ = N * (th * 256 + th * tw) * 4
+    return t, 0.0, bytes_
+
+
 def main():
     cfg = RVIOConfig()
     hbm, vpu, mxu = measure_peaks()
@@ -166,7 +217,9 @@ def main():
     rows = []
     for name, fn in (("fused KLT (4 lvl x 30 it, N=200)", bench_klt),
                      ("LM triangulate (F=100, L=15)", bench_lm),
-                     ("gate cholesky (F=100, m=30)", bench_gate)):
+                     ("gate cholesky (F=100, m=30)", bench_gate),
+                     ("clahe hist+apply (480x752 g=5)", bench_clahe),
+                     ("tile gather (N=200 KLT tiles)", bench_tile_gather)):
         t, flops, bytes_ = fn(cfg)
         rows.append((name, t * 1e3, flops / t / 1e9, bytes_ / t / 1e9))
     print(f"{'kernel':<34} {'ms':>7} {'GFLOP/s':>9} {'%VPU':>6} "

@@ -41,6 +41,16 @@ def test_flagship_image_level_ate():
     assert ate < 0.20, f"flagship image-level ATE {ate:.3f} m over {span:.2f} m"
     # the filter must actually be updating from image measurements
     assert res.n_good.mean() > 5.0
+    # acceptance-distribution bounds: a front-end regression (KLT quality,
+    # RANSAC rejection storms, chi2-gate blowups, short tracks) must fail
+    # here even if the synthetic ATE stays stable (VERDICT r2 weak #5;
+    # reference behavior anchor: Updater.cc:404-454 gating).
+    acc = res.acceptance_stats()
+    assert acc["ransac_inlier_rate"] > 0.80, acc
+    assert acc["gate_reject_rate"] < 0.50, acc
+    assert acc["track_len_mean"] > 4.0, acc
+    # most update candidates are honest lost/maxed tracks, not padding
+    assert res.diag["n_usable"].mean() > 10.0
 
 
 @pytest.mark.slow

@@ -111,6 +111,19 @@ class TestChain:
         np.testing.assert_allclose(np.asarray(Rw), A, atol=1e-9)
         np.testing.assert_allclose(np.asarray(tw), b, atol=1e-9)
 
+    def test_parallel_chain_matches_sequential(self):
+        # associative-scan form == sequential scan (same math, different
+        # fp summation order; f64 parity ~1e-15)
+        rng = np.random.default_rng(23)
+        qs, ps = _rand_transitions(rng, M)
+        clones = jnp.asarray(np.concatenate([qs, ps], axis=1))
+        Rw_s, tw_s = window_pose_chain(clones, M, parallel=False)
+        Rw_p, tw_p = window_pose_chain(clones, M, parallel=True)
+        np.testing.assert_allclose(np.asarray(Rw_p), np.asarray(Rw_s),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(tw_p), np.asarray(tw_s),
+                                   atol=1e-13)
+
     def test_feature_chain_tail(self):
         rng = np.random.default_rng(21)
         qs, ps = _rand_transitions(rng, M)
