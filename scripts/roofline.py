@@ -1,9 +1,16 @@
-"""Roofline accounting for the three fused Pallas kernels (VERDICT r1 item 6).
+"""Roofline accounting for the five fused Pallas kernels (VERDICT items).
 
 Measures device peaks empirically on the attached chip (HBM bandwidth via a
-saturating streaming copy, VPU f32 throughput via a long fused FMA chain,
-MXU f32 throughput via a large matmul), then times each fused kernel at
-flagship shapes and reports achieved GFLOP/s / GB/s against those peaks.
+loop-carried streaming triad, VPU f32 throughput via a long fused FMA
+chain, MXU f32 throughput via a large matmul), then times each fused kernel
+at flagship shapes and reports achieved GFLOP/s / GB/s against those peaks.
+
+Timing methodology (axon dev tunnel): a single dispatch pays ~1 ms of RPC
+latency, which swamps sub-millisecond kernels — so every measurement here
+runs K repetitions INSIDE one jitted ``lax.scan`` with a loop-carried data
+dependency (the next iteration's inputs depend on the previous outputs, so
+XLA cannot elide or overlap the repeats), plus a scalar-only device->host
+readback.  Per-kernel time = scan wall / K.
 
 FLOP/byte counts are analytic from the kernel shapes (documented inline);
 the VPU numbers count every elementwise op (select/compare/fma alike) since
@@ -24,64 +31,75 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from rvio_tpu.config import RVIOConfig
 
-
-def _readback(out):
-    # A device->host readback is required for honest timing through the
-    # axon tunnel (BASELINE.md note) — but it must be a SCALAR: converting
-    # a full output array rides the ~30 MB/s dev-tunnel RPC link and
-    # swamps the kernel time (a 1.4 MB image costs ~45 ms of transfer).
-    leaf = jax.tree.leaves(out)[0]
-    return float(jnp.sum(leaf.astype(jnp.float32)))
+K_REP = 32  # in-jit repetitions per dispatch
 
 
-def _timeit(fn, *args, iters=30):
-    out = fn(*args)
-    _readback(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _readback(out)
-    return (time.perf_counter() - t0) / iters
+def _time_scanned(step, init_carry, reps=K_REP, outers=3):
+    """Time ``lax.scan(step, carry, length=reps)`` inside one jit.
+
+    step(carry) -> carry with a real data dependency between iterations.
+    Returns seconds per step execution.
+    """
+    @jax.jit
+    def run(c):
+        return lax.scan(lambda cc, _: (step(cc), None), c, None,
+                        length=reps)[0]
+
+    out = run(init_carry)
+    # scalar readback — full-array conversion rides the ~30 MB/s tunnel
+    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    best = float("inf")
+    for _ in range(outers):
+        t0 = time.perf_counter()
+        out = run(init_carry)
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
 
 
 def measure_peaks():
-    # HBM bandwidth: big streaming triad (read 2, write 1)
-    n = 64 * 1024 * 1024  # 256 MB per array
+    # HBM: loop-carried triad y <- x*c + y (reads x,y; writes y) — the loop
+    # carry stops XLA fusing the repeats into registers
+    n = 32 * 1024 * 1024  # 128 MB per array
     x = jnp.ones((n,), jnp.float32)
-    y = jnp.ones((n,), jnp.float32)
-    f = jax.jit(lambda a, b: a * 1.5 + b)
-    t = _timeit(f, x, y, iters=10)
+
+    def triad(y):
+        return x * 1.5 + y
+
+    t = _time_scanned(triad, jnp.zeros((n,), jnp.float32), reps=16)
     hbm = 3 * 4 * n / t / 1e9
 
     # VPU f32: K fused FMAs per element on a VMEM-sized working set
-    K = 256
-    m = 4 * 1024 * 1024
+    KF = 256
+    m = 2 * 1024 * 1024
 
-    @jax.jit
     def chain(a):
         acc = a
-        for _ in range(K):
+        for _ in range(KF):
             acc = acc * 1.0000001 + 1e-7
         return acc
 
-    t = _timeit(chain, jnp.ones((m,), jnp.float32), iters=10)
-    vpu = 2 * K * m / t / 1e9  # fma = 2 flops
+    t = _time_scanned(chain, jnp.ones((m,), jnp.float32), reps=8)
+    vpu = 2 * KF * m / t / 1e9  # fma = 2 flops
 
     # MXU f32 (highest precision — what the filter uses)
-    d = 4096
-    A = jnp.ones((d, d), jnp.float32)
-    mm = jax.jit(lambda a, b: jax.lax.dot(a, b,
-                                          precision=jax.lax.Precision.HIGHEST))
-    t = _timeit(mm, A, A, iters=10)
+    d = 2048
+    A = jnp.ones((d, d), jnp.float32) * 1e-3
+
+    def mm(B):
+        return jax.lax.dot(A, B, precision=jax.lax.Precision.HIGHEST) * 1e-3
+
+    t = _time_scanned(mm, A, reps=16)
     mxu = 2 * d ** 3 / t / 1e9
     return hbm, vpu, mxu
 
 
 def bench_klt(cfg):
-    """Fused per-level LK kernel at flagship shapes."""
+    """Fused per-level LK kernel at flagship shapes (pos feeds back)."""
     from rvio_tpu.frontend.image import build_pyramid
     from rvio_tpu.frontend.klt import klt_track_fused
     from rvio_tpu.ops.klt_iterate import fused_tile_shape
@@ -93,16 +111,19 @@ def bench_klt(cfg):
     pyr1 = [jnp.asarray(p) for p in build_pyramid(img1, cfg.tracker.klt_levels)]
     pyr2 = [jnp.asarray(p) for p in build_pyramid(img2, cfg.tracker.klt_levels)]
     N = cfg.tracker.num_features
-    pos = jnp.asarray(rng.uniform(40, min(H, W) - 40, (N, 2)), jnp.float32)
+    pos0 = jnp.asarray(rng.uniform(40, min(H, W) - 40, (N, 2)), jnp.float32)
     active = jnp.ones(N, bool)
     win = cfg.tracker.klt_window
     it = cfg.tracker.klt_max_iters
 
-    f = jax.jit(lambda p: klt_track_fused(pyr1, pyr2, p, active, win=win,
-                                          max_iters=it,
-                                          eps=cfg.tracker.klt_eps,
-                                          min_eig=cfg.tracker.klt_min_eig))
-    t = _timeit(f, pos)
+    def step(pos):
+        new_pos, status, err = klt_track_fused(
+            pyr1, pyr2, pos, active, win=win, max_iters=it,
+            eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig)
+        # dependency + keep the workload stationary
+        return pos0 + (new_pos - new_pos.mean()) * 1e-12
+
+    t = _time_scanned(step, pos0)
 
     # analytic per-iteration elementwise ops (dominant terms), per lane:
     #   window extraction: 2 axes x ceil(log2(hi)) halving selects over the
@@ -127,13 +148,17 @@ def bench_lm(cfg):
     rng = np.random.default_rng(1)
     F = cfg.tracker.max_update_features
     L = cfg.tracker.max_tracking_length
-    z = jnp.asarray(rng.normal(0, 0.1, (F, L, 2)), jnp.float32)
+    z0 = jnp.asarray(rng.normal(0, 0.1, (F, L, 2)), jnp.float32)
     Rc = jnp.asarray(np.tile(np.eye(3), (F, L, 1, 1)), jnp.float32)
     tc = jnp.asarray(rng.normal(0, 0.1, (F, L, 3)), jnp.float32)
     tlen = jnp.asarray(rng.integers(3, L + 1, F), jnp.int32)
-    f = jax.jit(lambda z_, rc, tc_, tl: lm_triangulate_pallas(
-        z_, rc, tc_, tl, sigma_im=cfg.camera.sigma_image))
-    t = _timeit(f, z, Rc, tc, tlen)
+
+    def step(z):
+        phi, psi, rho, ok = lm_triangulate_pallas(
+            z, Rc, tc, tlen, sigma_im=cfg.camera.sigma_image)
+        return z0 + (rho[:, None, None] - rho.mean()) * 1e-12
+
+    t = _time_scanned(step, z0)
 
     Fpad = -(-F // 128) * 128
     # per LM iteration per (L, lane) element: h = R e + rho t (15 fma),
@@ -155,9 +180,13 @@ def bench_gate(cfg):
     m = 2 * cfg.tracker.max_tracking_length
     A = rng.normal(size=(F, m, m))
     S = jnp.asarray(A @ A.transpose(0, 2, 1) + 10 * np.eye(m), jnp.float32)
-    r = jnp.asarray(rng.normal(size=(F, m)), jnp.float32)
-    f = jax.jit(batched_quadform_pallas)
-    t = _timeit(f, S, r)
+    r0 = jnp.asarray(rng.normal(size=(F, m)), jnp.float32)
+
+    def step(r):
+        D = batched_quadform_pallas(S, r)
+        return r0 + (D[:, None] - D.mean()) * 1e-12
+
+    t = _time_scanned(step, r0)
     # cholesky m^3/3 + two triangular solves m^2 + quadform m, per feature
     flops = F * (m ** 3 / 3 + 2 * m ** 2 + m) * 2
     bytes_ = F * (m * m + m) * 4 * 2
@@ -170,20 +199,21 @@ def bench_clahe(cfg):
 
     rng = np.random.default_rng(3)
     H, W = cfg.camera.height, cfg.camera.width
-    img = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
-    f = jax.jit(lambda x: clahe_pallas(x, 3.0, 5))
-    t = _timeit(f, img)
+    img0 = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+
+    def step(img):
+        out = clahe_pallas(img, 3.0, 5)
+        return img0 + (out - out.mean()) * 1e-12
+
+    t = _time_scanned(step, img0)
     g, n_bins = 5, 256
     th, tw = -(-H // g), -(-W // g)
     Hp, Wpx = th * g, -(-(tw * g) // 128) * 128
-    # hist pass: per 8-row chunk, (256, Wpx) one-hot build (~3 ops/elem)
-    # + matmul (256, Wpx) @ (Wpx, g) per row-tile... count the one-hot
-    # build as VPU work and the two matmul contractions as MXU work; the
-    # apply pass is the same shape again (LUT one-hot + two contractions).
-    onehot_ops = 2 * 3 * n_bins * Hp * Wpx          # both passes
-    mm_flops = 2 * 2 * Hp * Wpx * n_bins            # hist: x->bins contract
+    # hist pass: per 8-row chunk, (256, Wpx) one-hot build (~3 ops/elem
+    # VPU) feeding two MXU contractions; the apply pass mirrors it
+    onehot_ops = 2 * 3 * n_bins * Hp * Wpx
+    mm_flops = 2 * 2 * Hp * Wpx * n_bins
     flops = onehot_ops + mm_flops
-    # bytes: image read twice + written once + LUT/weight small tensors
     bytes_ = (3 * Hp * Wpx) * 4
     return t, flops, bytes_
 
@@ -191,19 +221,24 @@ def bench_clahe(cfg):
 def bench_tile_gather(cfg):
     """Tile-gather DMA kernel at the fused-KLT level-0 shape."""
     from rvio_tpu.ops.tile_gather import gather_tiles_narrow_pallas
+    from rvio_tpu.ops.klt_iterate import fused_tile_shape
 
     rng = np.random.default_rng(4)
     H, W = cfg.camera.height, cfg.camera.width
     Wp = -(-W // 128) * 128 + 256
     img = jnp.asarray(rng.uniform(0, 255, (H, Wp)), jnp.float32)
     N = cfg.tracker.num_features
-    from rvio_tpu.ops.klt_iterate import fused_tile_shape
     th, tw = fused_tile_shape(cfg.tracker.klt_window)
-    origin = jnp.asarray(
+    origin0 = jnp.asarray(
         np.stack([rng.integers(0, W - tw, N), rng.integers(0, H - th, N)],
                  axis=1), jnp.int32)
-    f = jax.jit(lambda o: gather_tiles_narrow_pallas(img, o, th=th, tw=tw))
-    t = _timeit(f, origin)
+
+    def step(origin):
+        tiles = gather_tiles_narrow_pallas(img, origin, th=th, tw=tw)
+        dep = (jnp.sum(tiles) * 1e-20).astype(jnp.int32)  # 0, data-dependent
+        return origin0 + dep
+
+    t = _time_scanned(step, origin0)
     # pure DMA: reads a (th, 256) band + writes a (th, tw) tile per feature
     bytes_ = N * (th * 256 + th * tw) * 4
     return t, 0.0, bytes_
