@@ -262,6 +262,27 @@ def main():
         # gated in tests/test_flagship_image_ate.py
         acc = res.acceptance_stats()
 
+    # Photometric-stress variant of the same image-level workload: AE
+    # steps + vignetting + motion blur + noise bursts on a 30 s slice
+    # (the EuRoC-conditions stand-in; per-effect gates live in
+    # tests/test_photometric.py).
+    stress_ate = None
+    if os.environ.get("BENCH_STRESS", "1") == "1":
+        from rvio_tpu.dataio.synthetic import PhotometricStress
+        from rvio_tpu.runtime.image_driver import run_rendered_sequence_scan
+        st_cfg = PhotometricStress(exposure_gains=(1.0, 0.55, 1.5),
+                                   exposure_period_s=2.5,
+                                   vignette_strength=0.35, blur_px=3.0,
+                                   noise_sigma=4.0, burst_period_s=2.0,
+                                   burst_sigma=18.0)
+        n_stress = int(30 * cfg.camera.fps)
+        res_s = run_rendered_sequence_scan(cfg, sim, dtype=dtype,
+                                           chunk_size=32,
+                                           max_frames=n_stress,
+                                           photometric=st_cfg)
+        idx_s = np.searchsorted(sim.frame_t, res_s.timestamps)
+        stress_ate = ate_rmse(res_s.positions, sim.gt_p[idx_s])
+
     # Live-mode latency: the online driver one frame at a time at the
     # 20 Hz operating point — image push -> pose out, including H2D and
     # the device->host readback (the reference's operating condition is
@@ -305,6 +326,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "synthetic_ate_m": round(ate, 4),
         "pipeline_ate_m": round(pipeline_ate, 4) if pipeline_ate else None,
+        "pipeline_ate_stress_m": round(stress_ate, 4) if stress_ate else None,
         "n_good_mean": round(float(np.asarray(out["n_good"]).mean()), 1),
         "batched_fps": round(fps_batched, 1),
         "batch": B,

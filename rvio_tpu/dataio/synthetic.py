@@ -82,7 +82,17 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
                       seed: int = 0, n_landmarks: int = 600,
                       meas_noise: float = 0.0, imu_noise: bool = False,
                       motion_scale: float = 1.0,
-                      drop_prob: float = 0.0) -> SyntheticSequence:
+                      drop_prob: float = 0.0,
+                      drift_velocity=None) -> SyntheticSequence:
+    """Generate a synthetic VIO sequence (see module docstring).
+
+    ``drift_velocity``: optional (3,) m/s — adds a sustained cruise on top
+    of the sum-of-sines excitation (velocity ramps in with the smoothstep,
+    consistent accelerometer), turning the bounded workspace into a
+    drive-style corridor (the 9.8 km urban-drive workload class,
+    reference README.md:52).  Landmarks are then laid out along the
+    corridor instead of a shell around the origin.
+    """
     rng = np.random.default_rng(seed)
     G = cfg.imu.gravity
     imu_dt = 1.0 / cfg.imu.rate_hz
@@ -102,6 +112,24 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
     ramp_t0 = static_time + rotation_lead
     ramp_t1 = ramp_t0 + ramp_time
 
+    v_drift = (None if drift_velocity is None
+               else np.asarray(drift_velocity, float))
+
+    def _drift_terms(t):
+        """Closed-form (p, v, a) of the cruise: v(t) = s(t) * v_drift.
+
+        Position is the exact integral of the quintic smoothstep,
+        int_0^x s = 2.5 x^4 - 3 x^5 + x^6 (0.5 at x=1), scaled by the
+        ramp span, plus linear motion past the ramp.
+        """
+        span = ramp_t1 - ramp_t0
+        x = np.clip((t - ramp_t0) / span, 0.0, 1.0)
+        S1 = (2.5 * x ** 4 - 3.0 * x ** 5 + x ** 6) * span
+        if t > ramp_t1:
+            S1 += t - ramp_t1
+        s, sd, _ = _smoothstep(t, ramp_t0, ramp_t1)
+        return v_drift * S1, v_drift * s, v_drift * sd
+
     def pos_vel_acc(t):
         s, sd, sdd = _smoothstep(t, ramp_t0, ramp_t1)
         q = amp * np.sin(om * t + ph)
@@ -111,6 +139,9 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
         p = s * (q - q0)
         v = sd * (q - q0) + s * qd
         a = sdd * (q - q0) + 2 * sd * qd + s * qdd
+        if v_drift is not None:
+            dp, dv, da = _drift_terms(t)
+            p, v, a = p + dp, v + dv, a + da
         return p, v, a
 
     def R_wb(t):
@@ -151,11 +182,21 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
             imu_w[i] += cfg.imu.sigma_g / math.sqrt(imu_dt) * rng.normal(size=3)
             imu_a[i] += cfg.imu.sigma_a / math.sqrt(imu_dt) * rng.normal(size=3)
 
-    # --- landmarks: shell around the trajectory workspace ---
-    centers = rng.uniform(-1, 1, size=(n_landmarks, 3))
-    radii = rng.uniform(4.0, 9.0, size=(n_landmarks, 1))
-    dirs = centers / np.linalg.norm(centers, axis=1, keepdims=True)
-    landmarks = dirs * radii
+    # --- landmarks: shell around the trajectory workspace, or (with a
+    # drift velocity) a corridor of shells following the cruise path so
+    # features remain visible the whole drive ---
+    if v_drift is None:
+        centers = rng.uniform(-1, 1, size=(n_landmarks, 3))
+        radii = rng.uniform(4.0, 9.0, size=(n_landmarks, 1))
+        dirs = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+        landmarks = dirs * radii
+    else:
+        t_anchor = rng.uniform(0.0, duration, size=n_landmarks)
+        anchors = np.stack([pos_vel_acc(t)[0] for t in t_anchor])
+        centers = rng.uniform(-1, 1, size=(n_landmarks, 3))
+        dirs = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+        radii = rng.uniform(4.0, 9.0, size=(n_landmarks, 1))
+        landmarks = anchors + dirs * radii
 
     # --- frames + tracker-equivalent lifecycle ---
     N = cfg.tracker.num_features
@@ -183,13 +224,34 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
     slot_lm_out = -np.ones((n_frames, N), np.int64)
     slot_px_out = np.zeros((n_frames, N, 2))
 
-    def project_all(t):
-        """Normalized coords + visibility for all landmarks at time t."""
+    # Corridor pruning (drift runs): a km-scale drive needs ~1e6 corridor
+    # landmarks, and projecting all of them every frame is O(NL * T) —
+    # candidates are pre-binned by their coordinate along the drift axis so
+    # each frame projects only landmarks within visible range.  Non-drift
+    # runs use the identity candidate set, which preserves the exact RNG
+    # stream of the original implementation.
+    if v_drift is not None:
+        d_unit = v_drift / max(np.linalg.norm(v_drift), 1e-12)
+        s_lm = landmarks @ d_unit
+        s_order = np.argsort(s_lm)
+        s_sorted = s_lm[s_order]
+
+    def project_candidates(t):
+        """(ids, zn, px, vis) for this frame's candidate landmarks."""
         p_w, _, _ = pos_vel_acc(t)
         R = R_wb(t)
         p_cam_w = p_w + R @ t_bc
         R_wc = R @ R_bc
-        pc = (landmarks - p_cam_w) @ R_wc       # (NL,3) camera coords
+        if v_drift is None:
+            ids = slice(None)
+            pts = landmarks
+        else:
+            s_rig = p_cam_w @ d_unit
+            lo = np.searchsorted(s_sorted, s_rig - 26.0)
+            hi = np.searchsorted(s_sorted, s_rig + 26.0)
+            ids = np.sort(s_order[lo:hi])
+            pts = landmarks[ids]
+        pc = (pts - p_cam_w) @ R_wc             # (C,3) camera coords
         z = pc[:, 2]
         with np.errstate(divide="ignore", invalid="ignore"):
             xn = pc[:, 0] / z
@@ -198,18 +260,37 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
         v = fy * yn + cy
         vis = (z > 0.4) & (z < 25.0) & (u > 10) & (u < wpx - 10) \
             & (v > 10) & (v < hpx - 10)
-        return np.stack([xn, yn], 1), np.stack([u, v], 1), vis
+        return ids, np.stack([xn, yn], 1), np.stack([u, v], 1), vis
+
+    # global-id -> per-frame local index, stamped per frame (drift mode)
+    if v_drift is not None:
+        map_idx = np.zeros(n_landmarks, np.int64)
+        map_ver = np.full(n_landmarks, -1, np.int64)
 
     for k, t in enumerate(frame_t):
-        zn, px, vis = project_all(t)
+        ids, zn, px, vis = project_candidates(t)
         if meas_noise > 0:
             zn = zn + meas_noise * rng.normal(size=zn.shape)
+
+        if v_drift is None:
+            def loc(lm):
+                return lm
+            vis_ids = np.flatnonzero(vis)
+        else:
+            map_idx[ids] = np.arange(len(ids))
+            map_ver[ids] = k
+
+            def loc(lm):
+                return map_idx[lm] if map_ver[lm] == k else -1
+            vis_ids = ids[vis]
 
         tracked = np.zeros(N, bool)
         for s in range(N):
             lm = slot_lm[s]
-            if lm >= 0 and vis[lm] and rng.uniform() >= drop_prob:
-                tracked[s] = True
+            if lm >= 0:
+                li = loc(lm)
+                if li >= 0 and vis[li] and rng.uniform() >= drop_prob:
+                    tracked[s] = True
 
         # classify: lost slots -> type 1 candidates; max-length -> type 2
         batch_meas = np.zeros((F, L, 2))
@@ -242,25 +323,30 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
                         history[s] = history[s][-keep:]
                     else:
                         history[s] = history[s][1:]
-                history[s].append(zn[lm].copy())
+                history[s].append(zn[loc(lm)].copy())
 
         # refill free slots from unassigned visible landmarks
         assigned = set(slot_lm[slot_lm >= 0].tolist())
         free = [s for s in range(N) if slot_lm[s] < 0]
         if free:
-            candidates = [i for i in np.flatnonzero(vis) if i not in assigned]
+            candidates = [i for i in vis_ids if i not in assigned]
             rng.shuffle(candidates)
             for s, lm in zip(free, candidates):
                 slot_lm[s] = lm
-                history[s] = [zn[lm].copy()]
+                history[s] = [zn[loc(lm)].copy()]
 
         feat_meas[k], feat_len[k] = batch_meas, batch_len
         feat_type2[k], feat_valid[k] = batch_t2, batch_ok
         p_w, v_w, _ = pos_vel_acc(t)
         gt_p[k], gt_R[k], gt_v[k] = p_w, R_wb(t), v_w
         slot_lm_out[k] = slot_lm
-        slot_px_out[k] = np.where(slot_lm[:, None] >= 0,
-                                  px[np.clip(slot_lm, 0, None)], 0.0)
+        if v_drift is None:
+            slot_px_out[k] = np.where(slot_lm[:, None] >= 0,
+                                      px[np.clip(slot_lm, 0, None)], 0.0)
+        else:
+            for s in range(N):
+                li = loc(slot_lm[s]) if slot_lm[s] >= 0 else -1
+                slot_px_out[k, s] = px[li] if li >= 0 else 0.0
 
     return SyntheticSequence(
         imu_t=imu_t, imu_w=imu_w, imu_a=imu_a, frame_t=frame_t,
@@ -307,6 +393,98 @@ def project_landmarks(cfg: RVIOConfig, sim: SyntheticSequence, k: int):
     vis = (z > 0.4) & (z < 25.0) & (px[:, 0] > 12) & (px[:, 0] < c.width - 12) \
         & (px[:, 1] > 12) & (px[:, 1] < c.height - 12)
     return px, vis
+
+
+@dataclass(frozen=True)
+class PhotometricStress:
+    """Photometric degradation model for rendered frames.
+
+    The strongest available stand-in for real-EuRoC photometric conditions
+    (auto-exposure steps, lens vignetting, motion blur, sensor noise) in a
+    network-free environment — each term targets a specific front-end
+    failure mode:
+
+    - exposure steps: abrupt global gain changes (AE hunting) break KLT's
+      brightness-constancy assumption between template and search frame;
+      CLAHE (Tracker.cc:183-202 equivalent) must absorb them;
+    - vignetting: radial gain falloff makes brightness constancy violated
+      anisotropically as features move outward;
+    - motion blur: directional smear along the true inter-frame image
+      motion destroys corner sharpness exactly when motion is fastest;
+    - noise bursts: frames of heavy Gaussian noise (sensor gain spikes).
+
+    All effects are deterministic in (seed, frame index).
+    """
+
+    exposure_gains: tuple = (1.0,)    # cycled every exposure_period_s
+    exposure_period_s: float = 4.0
+    vignette_strength: float = 0.0    # 0..1 corner darkening
+    blur_px: float = 0.0              # max directional blur length [px]
+    noise_sigma: float = 0.0          # per-pixel gaussian, gray levels
+    burst_period_s: float = 0.0       # 0 = no bursts
+    burst_sigma: float = 25.0
+    seed: int = 0
+
+
+def apply_photometric(img: np.ndarray, k: int, t: float,
+                      stress: PhotometricStress,
+                      flow: np.ndarray | None = None,
+                      fps: float = 20.0) -> np.ndarray:
+    """Apply the stress model to one rendered frame (float, gray levels).
+
+    ``flow``: mean inter-frame image motion (dx, dy) in pixels, used to
+    orient the motion blur; None disables blur for this frame.
+    """
+    H, W = img.shape
+    out = img.astype(np.float32)
+
+    if stress.blur_px > 0 and flow is not None:
+        n = float(np.hypot(flow[0], flow[1]))
+        length = min(n, stress.blur_px)
+        if length > 0.5:
+            d = np.asarray(flow) / max(n, 1e-9)
+            S = 5
+            acc = np.zeros_like(out)
+            yy = np.arange(H)[:, None]
+            xx = np.arange(W)[None, :]
+            for i in range(S):
+                f = (i / (S - 1) - 0.5) * length
+                sx = np.clip(xx - int(round(f * d[0])), 0, W - 1)
+                sy = np.clip(yy - int(round(f * d[1])), 0, H - 1)
+                acc += out[sy, sx]
+            out = acc / S
+
+    if stress.vignette_strength > 0:
+        yy, xx = np.mgrid[0:H, 0:W]
+        r2 = (((xx - W / 2) / (W / 2)) ** 2 + ((yy - H / 2) / (H / 2)) ** 2)
+        out = out * (1.0 - stress.vignette_strength * np.minimum(r2, 1.0))
+
+    gains = stress.exposure_gains
+    if len(gains) > 1 or gains[0] != 1.0:
+        out = out * gains[int(t / stress.exposure_period_s) % len(gains)]
+
+    sigma = stress.noise_sigma
+    if stress.burst_period_s > 0:
+        period_frames = max(int(round(stress.burst_period_s * fps)), 1)
+        if k % period_frames == 0:
+            sigma = max(sigma, stress.burst_sigma)
+    if sigma > 0:
+        rng = np.random.default_rng((stress.seed * 1_000_003 + k) & 0x7FFFFFFF)
+        out = out + sigma * rng.standard_normal(out.shape).astype(np.float32)
+
+    return np.clip(out, 0.0, 255.0)
+
+
+def mean_flow(cfg: RVIOConfig, sim: SyntheticSequence, k: int) -> np.ndarray:
+    """Mean projected landmark motion (dx, dy) px between frames k-1 and k."""
+    if k == 0:
+        return np.zeros(2)
+    px0, v0 = project_landmarks(cfg, sim, k - 1)
+    px1, v1 = project_landmarks(cfg, sim, k)
+    both = v0 & v1
+    if not both.any():
+        return np.zeros(2)
+    return (px1[both] - px0[both]).mean(axis=0)
 
 
 def render_frame(cfg: RVIOConfig, sim: SyntheticSequence, k: int,

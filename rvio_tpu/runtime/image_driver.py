@@ -398,8 +398,8 @@ def run_rendered_sequence_scan(cfg: RVIOConfig, sim, dtype=jnp.float32,
                                chunk_size: int = 32, seed: int = 0,
                                progress: bool = False,
                                timing_split: bool = False,
-                               max_frames: Optional[int] = None
-                               ) -> DriverResult:
+                               max_frames: Optional[int] = None,
+                               photometric=None) -> DriverResult:
     """Run the FULL image pipeline on simulator-rendered frames.
 
     The flagship accuracy workload: frames are rendered at the configured
@@ -407,8 +407,13 @@ def run_rendered_sequence_scan(cfg: RVIOConfig, sim, dtype=jnp.float32,
     the complete production path (CLAHE, pyramid, KLT, RANSAC, lifecycle,
     filter) — the image-level stand-in for real-EuRoC replay
     (reference: README.md:70-86) when no dataset is reachable.
+
+    ``photometric``: optional :class:`~rvio_tpu.dataio.synthetic.
+    PhotometricStress` applied to every rendered frame (exposure steps,
+    vignetting, motion blur along the true image motion, noise bursts).
     """
-    from rvio_tpu.dataio.synthetic import render_frame
+    from rvio_tpu.dataio.synthetic import (apply_photometric, mean_flow,
+                                           render_frame)
 
     groups = bundle_imu(sim.imu_t, sim.imu_w, sim.imu_a, sim.frame_t,
                         time_offset=cfg.camera.time_offset)
@@ -417,7 +422,12 @@ def run_rendered_sequence_scan(cfg: RVIOConfig, sim, dtype=jnp.float32,
     filter_state, k0 = _find_init_frame(cfg, groups, n, dtype)
 
     def render_u8(k):
-        return np.clip(render_frame(cfg, sim, k), 0, 255).astype(np.uint8)
+        img = render_frame(cfg, sim, k)
+        if photometric is not None:
+            img = apply_photometric(
+                img, k, float(sim.frame_t[k]), photometric,
+                flow=mean_flow(cfg, sim, k), fps=cfg.camera.fps)
+        return np.clip(img, 0, 255).astype(np.uint8)
 
     init_fn, _ = make_tracker(cfg, dtype)
     tracker_state, _ = init_fn(jnp.asarray(render_u8(k0), dtype))

@@ -38,27 +38,40 @@ from rvio_tpu.config import RVIOConfig
 K_REP = 32  # in-jit repetitions per dispatch
 
 
-def _time_scanned(step, init_carry, reps=K_REP, outers=3):
-    """Time ``lax.scan(step, carry, length=reps)`` inside one jit.
+def _time_scanned(step, init_carry, reps=K_REP, chain=16, outers=3):
+    """Time ``step`` executions with sync latency fully amortized.
 
     step(carry) -> carry with a real data dependency between iterations.
-    Returns seconds per step execution.
+    One jitted program runs ``reps`` executions via lax.scan; ``chain``
+    such calls are chained carry-to-carry before a single scalar
+    readback.  Through the axon tunnel a device->host sync costs ~25 ms
+    (measured 2026-08-21) regardless of work, so per-kernel time must be
+    the DELTA between a chained run and a single (sync-dominated) run:
+    t = (T_chain - T_1) / ((chain - 1) * reps).
     """
     @jax.jit
     def run(c):
         return lax.scan(lambda cc, _: (step(cc), None), c, None,
                         length=reps)[0]
 
-    out = run(init_carry)
-    # scalar readback — full-array conversion rides the ~30 MB/s tunnel
-    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-    best = float("inf")
+    def sync(out):
+        # scalar readback — full-array conversion rides the ~30 MB/s tunnel
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+
+    sync(run(init_carry))  # compile + warm
+    t1 = float("inf")
+    tN = float("inf")
     for _ in range(outers):
         t0 = time.perf_counter()
-        out = run(init_carry)
-        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-        best = min(best, time.perf_counter() - t0)
-    return best / reps
+        sync(run(init_carry))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        c = init_carry
+        for _ in range(chain):
+            c = run(c)
+        sync(c)
+        tN = min(tN, time.perf_counter() - t0)
+    return max(tN - t1, 1e-9) / ((chain - 1) * reps)
 
 
 def measure_peaks():
@@ -86,14 +99,16 @@ def measure_peaks():
     t = _time_scanned(chain, jnp.ones((m,), jnp.float32), reps=8)
     vpu = 2 * KF * m / t / 1e9  # fma = 2 flops
 
-    # MXU f32 (highest precision — what the filter uses)
-    d = 2048
+    # MXU f32 (highest precision — what the filter uses).  d must be large
+    # enough that one matmul (~7 ms at d=8192) dwarfs timing noise; small-d
+    # chains vanish into the ~25 ms sync jitter and report nonsense.
+    d = 8192
     A = jnp.ones((d, d), jnp.float32) * 1e-3
 
     def mm(B):
         return jax.lax.dot(A, B, precision=jax.lax.Precision.HIGHEST) * 1e-3
 
-    t = _time_scanned(mm, A, reps=16)
+    t = _time_scanned(mm, A, reps=4, chain=4)
     mxu = 2 * d ** 3 / t / 1e9
     return hbm, vpu, mxu
 
