@@ -167,11 +167,30 @@ def main():
         key = jax.random.key(0)
         o = track_fn(ts0, img2, wj, dj, vj, key)
         jax.block_until_ready(o)
-        t0 = time.perf_counter()
-        for _ in range(10):
-            o = track_fn(ts0, img2, wj, dj, vj, key)
-        jax.block_until_ready(o)
-        frontend_fps = 10 / (time.perf_counter() - t0)
+        _ = float(jnp.sum(o[1].meas))
+
+        # two-point timing: a device->host sync through the axon tunnel
+        # costs ~25 ms regardless of work (BASELINE.md r3), so the
+        # per-dispatch cost is the delta between a 31-call chain and a
+        # single call, each ending in one scalar readback
+        def chain_track(n):
+            ts = ts0
+            o = None
+            for _ in range(n):
+                ts, batch, _dbg = track_fn(ts, img2, wj, dj, vj, key)
+                o = batch
+            return float(jnp.sum(o.meas))
+
+        chain_track(1)
+        t1 = tN = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            chain_track(1)
+            t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            chain_track(31)
+            tN = min(tN, time.perf_counter() - t0)
+        frontend_fps = 30 / max(tN - t1, 1e-9)
 
         # Complete system images->poses: tracker + filter fused in the
         # chunked on-device scan (one dispatch per 32 frames), frames

@@ -26,13 +26,23 @@ import numpy as np
 from rvio_tpu.frontend.image import sobel_gradients, box_filter
 
 
-def shi_tomasi_response(img: jnp.ndarray, block: int = 3) -> jnp.ndarray:
+def shi_tomasi_response(img: jnp.ndarray, block: int = 3,
+                        use_pallas: bool = True) -> jnp.ndarray:
     """Min-eigenvalue corner response (cv::cornerMinEigenVal semantics).
 
-    The block sum runs as a separable shift-add (box_filter): a 1-channel
-    conv_general_dilated pads channels to the MXU tile on TPU and is ~ms
-    slow, the shift-add is tens of us.
+    A 2-px border is zeroed in every path: goodFeaturesToTrack ignores a
+    border margin, grid_top_corners suppresses >= 4 px anyway, and it
+    makes the XLA and Pallas paths bitwise-comparable on the full map.
+
+    On TPU f32 the whole chain runs as one fused Pallas kernel
+    (ops/shi_tomasi.py) — the XLA chain below is ~15 full-image stages
+    (~0.18 ms/frame in-scan at VGA); the kernel is one HBM read + write.
+    The XLA path remains the CPU/f64 oracle.
     """
+    if (use_pallas and block == 3 and img.dtype == jnp.float32
+            and jax.default_backend() in ("tpu", "axon")):
+        from rvio_tpu.ops.shi_tomasi import shi_tomasi_pallas
+        return shi_tomasi_pallas(img)
     ix, iy = sobel_gradients(img)
     sxx = box_filter(ix * ix, block)
     sxy = box_filter(ix * iy, block)
@@ -40,7 +50,12 @@ def shi_tomasi_response(img: jnp.ndarray, block: int = 3) -> jnp.ndarray:
     tr = sxx + syy
     det = sxx * syy - sxy * sxy
     disc = jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))
-    return (tr - disc) * 0.5
+    resp = (tr - disc) * 0.5
+    H, W = img.shape
+    row = jnp.arange(H)[:, None]
+    col = jnp.arange(W)[None, :]
+    inner = ((row >= 2) & (row < H - 2) & (col >= 2) & (col < W - 2))
+    return jnp.where(inner, resp, 0.0)
 
 
 def grid_top_corners(resp: jnp.ndarray, cell: int, max_corners: int,

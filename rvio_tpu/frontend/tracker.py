@@ -89,7 +89,7 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
         return tuple(build_pyramid(img, levels))
 
     def detect(img, spacing):
-        resp = shi_tomasi_response(img)
+        resp = shi_tomasi_response(img, use_pallas=cfg.tpu.use_pallas)
         pts, valid = grid_top_corners(resp, spacing, N,
                                       cfg.tracker.quality_level)
         pts = corner_subpix(img, pts, win=int(min_dist) // 2,

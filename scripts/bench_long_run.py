@@ -60,15 +60,20 @@ def main():
                             meas_noise=0.001, imu_noise=True,
                             drift_velocity=v_drift)
     sim_s = time.perf_counter() - t0
+    print(f"# sim built in {sim_s:.1f}s", flush=True)
+    t0 = time.perf_counter()
     state0, bundles, idx0 = build_bundles(cfg, sim, dtype)
+    print(f"# bundles built in {time.perf_counter()-t0:.1f}s", flush=True)
     T = int(bundles.imu.w.shape[0])
     gt = sim.gt_p[idx0:]
     path = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
 
     # ---- (a) single-chip endurance ----
     run = make_sequence_scan(cfg)
+    t0 = time.perf_counter()
     st, out = run(jax.tree.map(jnp.copy, state0), bundles)
     _ = float(jnp.sum(out["p_Gk"]))           # compile + honest sync
+    print(f"# endurance compile+first {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     st, out = run(jax.tree.map(jnp.copy, state0), bundles)
     _ = float(jnp.sum(out["p_Gk"]))

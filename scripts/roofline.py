@@ -100,15 +100,21 @@ def measure_peaks():
     vpu = 2 * KF * m / t / 1e9  # fma = 2 flops
 
     # MXU f32 (highest precision — what the filter uses).  d must be large
-    # enough that one matmul (~7 ms at d=8192) dwarfs timing noise; small-d
-    # chains vanish into the ~25 ms sync jitter and report nonsense.
+    # enough that one matmul (~7 ms at d=8192) dwarfs timing noise, and A
+    # must be non-degenerate random — a uniform constant lets XLA reduce
+    # the product to a rank-1 broadcast and report PFLOP/s fiction.
     d = 8192
-    A = jnp.ones((d, d), jnp.float32) * 1e-3
+    A = jnp.asarray(np.random.default_rng(0).standard_normal((d, d)) * 1e-2,
+                    jnp.float32)
 
-    def mm(B):
-        return jax.lax.dot(A, B, precision=jax.lax.Precision.HIGHEST) * 1e-3
+    def mm(carry):
+        # A rides in the carry: a closed-over 256 MB constant would be
+        # embedded in the HLO (the remote-compile endpoint rejects it)
+        A_, B = carry
+        return A_, jax.lax.dot(A_, B,
+                               precision=jax.lax.Precision.HIGHEST) * 1e-2
 
-    t = _time_scanned(mm, A, reps=4, chain=4)
+    t = _time_scanned(mm, (A, A), reps=4, chain=4)
     mxu = 2 * d ** 3 / t / 1e9
     return hbm, vpu, mxu
 

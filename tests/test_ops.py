@@ -177,3 +177,30 @@ class TestClaheKernels:
         # H=475 -> th=95? not supported; H=470 -> th=94 unsupported; use
         # H=440 (th=88, %8==0) with W needing reflect pad (W=750 -> tw=150)
         self._check(440, 750)
+
+
+class TestShiTomasiKernel:
+    def test_matches_xla_interior(self):
+        """Pallas fused response == the XLA oracle on the whole map
+        (both zero the 2-px border; interior must match to fp rounding)."""
+        import numpy as np
+        from rvio_tpu.frontend.detector import shi_tomasi_response
+        from rvio_tpu.ops.shi_tomasi import shi_tomasi_pallas
+        rng = np.random.default_rng(17)
+        img = jnp.asarray(rng.uniform(0, 255, (480, 752)), jnp.float32)
+        ref = np.asarray(shi_tomasi_response(img, use_pallas=False))
+        out = np.asarray(shi_tomasi_pallas(img, interpret=True))
+        assert out.shape == ref.shape
+        # border ring is exactly zero in both
+        assert np.all(out[:2] == 0) and np.all(out[:, :2] == 0)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-2)
+
+    def test_odd_shape(self):
+        import numpy as np
+        from rvio_tpu.frontend.detector import shi_tomasi_response
+        from rvio_tpu.ops.shi_tomasi import shi_tomasi_pallas
+        rng = np.random.default_rng(18)
+        img = jnp.asarray(rng.uniform(0, 255, (123, 217)), jnp.float32)
+        ref = np.asarray(shi_tomasi_response(img, use_pallas=False))
+        out = np.asarray(shi_tomasi_pallas(img, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-2)
