@@ -129,6 +129,16 @@ class InitConfig:
     # inconsistent whenever the motion gate fires after real motion onset;
     # set to 0.0 for strict reference parity.
     sigma_v0: float = 0.1
+    # Freeze the static bias averages at detected motion ONSET instead of
+    # at gate firing.  The reference averages every pre-gate IMU sample
+    # into the gyro/accel bias init (System.cc:217-249); with a slow
+    # motion onset the per-frame gate stays quiet for a second or more of
+    # real sub-threshold rotation, poisoning the bias init by up to the
+    # ramp rate (measured: 0.008 rad/s on a 5 s smoothstep ramp -> 7 deg/
+    # min yaw drift).  Onset is detected on the DETRENDED cumulative
+    # angle (deviation from the running mean, so a true constant bias
+    # never trips it) at 0.5x threshold_angle.  False = strict parity.
+    freeze_bias_average: bool = True
 
 
 @dataclass(frozen=True)

@@ -41,6 +41,13 @@ class InitializationGate:
         self.a_sum = np.zeros(3)
         self.n_imu = 0
         self.moving = False
+        # motion-onset detector for the bias-average freeze
+        # (init.freeze_bias_average): detrended cumulative angle
+        self.cum_dev = np.zeros(3)
+        self.frozen = False
+        # per-frame sums so the freeze can retroactively trim the
+        # onset-to-detection lag (~0.5 s of sub-threshold rotation)
+        self._frames: list = []
 
     def feed(self, w: np.ndarray, a: np.ndarray, dts: np.ndarray
              ) -> Optional[FilterState]:
@@ -60,9 +67,38 @@ class InitializationGate:
                 self.moving = True
 
         if not self.moving:
-            self.w_sum += w.sum(axis=0)
-            self.a_sum += a.sum(axis=0)
-            self.n_imu += len(w)
+            if cfg.init.freeze_bias_average and not self.frozen:
+                # deviation of this frame's rotation from the running mean
+                # rate: a true constant gyro bias cancels, a slow motion
+                # onset accumulates — freeze the bias averages at onset so
+                # sub-threshold rotation cannot poison the init (the
+                # reference averages every pre-gate sample, System.cc:
+                # 217-230, which costs ~deg/min yaw drift on gentle ramps)
+                w_mean = (self.w_sum / self.n_imu if self.n_imu > 0
+                          else np.asarray(w[0], float))
+                self.cum_dev = self.cum_dev + (
+                    dts[:, None] * (np.asarray(w) - w_mean)).sum(axis=0)
+                if (np.linalg.norm(self.cum_dev)
+                        > 0.5 * cfg.init.threshold_angle):
+                    self.frozen = True
+                    # retroactively drop the detection lag: the onset
+                    # ramped for ~the trailing 0.6 s before the detrended
+                    # deviation crossed the trip level
+                    drop_t = 0.0
+                    while (self._frames and drop_t < 0.6
+                           and self.n_imu - self._frames[-1][2] >= 20):
+                        ws, as_, n, dt_f = self._frames.pop()
+                        self.w_sum -= ws
+                        self.a_sum -= as_
+                        self.n_imu -= n
+                        drop_t += dt_f
+            if not self.frozen:
+                self.w_sum += w.sum(axis=0)
+                self.a_sum += a.sum(axis=0)
+                self.n_imu += len(w)
+                if cfg.init.freeze_bias_average:
+                    self._frames.append((w.sum(axis=0), a.sum(axis=0),
+                                         len(w), float(np.sum(dts))))
             return None
 
         if self.n_imu == 0:

@@ -48,6 +48,14 @@ def main():
     cfg = RVIOConfig()  # flagship EuRoC operating point
     dtype = jnp.float32
 
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", flush=True)
+    if dev.platform == "cpu" and os.environ.get("LONG_RUN_ALLOW_CPU") != "1":
+        # the axon plugin silently falls back to CPU when the chip is held
+        # by another process — a 30-min drive on 2 vCPUs is not a benchmark
+        raise SystemExit("refusing to run on CPU fallback "
+                         "(set LONG_RUN_ALLOW_CPU=1 to override)")
+
     # ~5.4 m/s cruise -> 9.7 km in 30 min; corridor landmark density
     # ~105/m keeps a few hundred candidates in range per frame
     v_drift = np.array([5.2, 0.8, 0.0])
