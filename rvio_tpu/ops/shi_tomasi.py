@@ -36,13 +36,17 @@ _R = 64  # output rows per grid step
 
 
 def _scol(a, k):
-    """Lane shift: out[:, j] = a[:, j + k], zeros shifted in at the edge."""
+    """Lane shift: out[:, j] = a[:, j + k] (cyclic).
+
+    Implemented as a lane roll — Mosaic cannot lower a slice+concat lane
+    shift ("offset mismatch on non-concat dimension").  The wrapped-around
+    values contaminate only columns {0, 1, Wp-2, Wp-1} through the whole
+    stencil chain; the public entry reads columns [4, W) with W <= Wp-4,
+    so the contamination ring never reaches the output.
+    """
     if k == 0:
         return a
-    z = jnp.zeros((a.shape[0], abs(k)), a.dtype)
-    if k > 0:
-        return jnp.concatenate([a[:, k:], z], axis=1)
-    return jnp.concatenate([z, a[:, :k]], axis=1)
+    return pltpu.roll(a, (a.shape[1] - k) % a.shape[1], 1)
 
 
 def _shi_kernel(x_ref, out_ref):

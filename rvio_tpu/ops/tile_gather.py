@@ -38,18 +38,24 @@ def _gather_kernel(orig_ref, img_ref, out_ref, sems):
             sems.at[slot],
         )
 
-    # double-buffered: start i+1 before waiting on i
-    dma(0, 0).start()
+    # destinations are disjoint (out_ref.at[i]), so pipeline depth is
+    # limited only by the semaphore pool: keep _NSLOT-1 copies in flight
+    ahead = _NSLOT - 1
+    for j in range(min(ahead, n)):
+        dma(j, j % _NSLOT).start()
 
     def body(i, _):
-        @pl.when(i + 1 < n)
+        @pl.when(i + ahead < n)
         def _():
-            dma(i + 1, (i + 1) % 2).start()
+            dma(i + ahead, (i + ahead) % _NSLOT).start()
 
-        dma(i, i % 2).wait()
+        dma(i, i % _NSLOT).wait()
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
+
+
+_NSLOT = 8  # narrow-gather DMA pipeline depth
 
 
 def _gather_narrow_kernel(orig_ref, img_ref, out_ref, band, sems):
@@ -58,7 +64,10 @@ def _gather_narrow_kernel(orig_ref, img_ref, out_ref, band, sems):
     Each feature: DMA a (th, 256) 128-aligned band into VMEM scratch, roll
     it left by the unaligned lane residual, and write the leading (th, tw)
     window out — arbitrary-offset tiles without violating the (8, 128)
-    slice-alignment rules.
+    slice-alignment rules.  The DMA pipeline is _NSLOT deep (a 2-slot
+    pipeline serializes on the per-feature roll+write: wait(i) can only
+    overlap ONE in-flight copy; with 8 slots the DMA engine stays ~7
+    copies ahead of the compute).
     """
     n = out_ref.shape[0]
     th = out_ref.shape[1]
@@ -73,14 +82,19 @@ def _gather_narrow_kernel(orig_ref, img_ref, out_ref, band, sems):
             sems.at[slot],
         )
 
-    dma(0, 0).start()
+    # keep at most _NSLOT-1 copies in flight: slot (i + _NSLOT-1) % _NSLOT
+    # differs from the slot being read at iteration i, so a new copy never
+    # lands in a band the current iteration is still consuming
+    ahead = _NSLOT - 1
+    for j in range(min(ahead, n)):
+        dma(j, j % _NSLOT).start()
 
     def body(i, _):
-        @pl.when(i + 1 < n)
+        @pl.when(i + ahead < n)
         def _():
-            dma(i + 1, (i + 1) % 2).start()
+            dma(i + ahead, (i + ahead) % _NSLOT).start()
 
-        slot = i % 2
+        slot = i % _NSLOT
         dma(i, slot).wait()
         shift = orig_ref[i, 0] % 128
         rolled = pltpu.roll(band[slot], -shift, 1)
@@ -115,7 +129,7 @@ def gather_tiles_pallas(img: jnp.ndarray, origin: jnp.ndarray,
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_NSLOT,))],
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -148,8 +162,8 @@ def gather_tiles_narrow_pallas(img: jnp.ndarray, origin: jnp.ndarray,
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((2, th, 256), img.dtype),
-                            pltpu.SemaphoreType.DMA((2,))],
+            scratch_shapes=[pltpu.VMEM((_NSLOT, th, 256), img.dtype),
+                            pltpu.SemaphoreType.DMA((_NSLOT,))],
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
