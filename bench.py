@@ -327,8 +327,8 @@ def main():
             img = np.clip(render_frame(cfg, sim, k), 0, 255).astype(np.uint8)
             t0 = time.perf_counter()
             drv.push_image(sim.frame_t[k], img, seq=k)
-            out = drv.spin_once()
-            if out is not None:
+            lat_out = drv.spin_once()   # NOT `out` — that's the scan output
+            if lat_out is not None:
                 lats.append(time.perf_counter() - t0)
         if len(lats) > 10:
             warm = np.asarray(lats[5:]) * 1e3

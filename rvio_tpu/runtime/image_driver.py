@@ -50,6 +50,30 @@ class ImagePipeline:
                       sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa,
                       parallel=cfg.tpu.parallel_propagation)
         self._prop_fn = jax.jit(lambda st, blk: propagate(st, blk, **imu_kw))
+        # pack the per-frame core outputs into ONE small vector so the live
+        # path pays a single device->host transfer (through a remote-TPU
+        # tunnel every readback costs ~25 ms of RPC latency; a dict of 9
+        # arrays converted one-by-one dominates end-to-end latency)
+        self._pack = jax.jit(lambda o: jnp.concatenate([
+            o["q_kG"], o["p_Gk"], o["v_k"],
+            jnp.stack([o["n_good"].astype(jnp.float32),
+                       o["did_update"].astype(jnp.float32),
+                       o["n_usable"].astype(jnp.float32),
+                       o["tl_good_sum"].astype(jnp.float32)])]))
+
+    def process_packed(self, t, image, imu_w, imu_a, imu_dts):
+        """Like :meth:`process` but returns a host dict from ONE transfer.
+
+        Keys: q_kG, p_Gk, v_k, n_good, did_update, n_usable, tl_good_sum
+        (no per-feature diagnostics — use :meth:`process` for those).
+        """
+        out = self.process(t, image, imu_w, imu_a, imu_dts)
+        if out is None:
+            return None
+        v = np.asarray(self._pack(out))
+        return {"q_kG": v[0:4], "p_Gk": v[4:7], "v_k": v[7:10],
+                "n_good": int(v[10]), "did_update": bool(v[11] > 0.5),
+                "n_usable": int(v[12]), "tl_good_sum": int(v[13])}
 
     def process(self, t: float, image: np.ndarray, imu_w, imu_a, imu_dts):
         """Feed one frame; returns (q_kG, p_Gk, v, n_good) or None pre-init."""

@@ -73,16 +73,20 @@ class OnlineDriver:
 
         None means either no frame is ready (buffer waiting for IMU
         coverage) or the frame was consumed pre-initialization.
+
+        Core fields (pose, velocity, counters) arrive via ONE packed
+        device->host transfer (latency-critical on remote devices); the
+        per-feature diagnostics (landmarks etc.) are available through
+        ``pipeline.process`` directly when needed.
         """
         m = self.buffer.get_measurements(self.cfg.camera.time_offset)
         if m is None:
             return None
         t_img, image, w, a, dt = m
-        out = self.pipeline.process(t_img, np.asarray(image), w, a, dt)
+        out = self.pipeline.process_packed(t_img, np.asarray(image), w, a, dt)
         if out is not None:
-            self.poses.append((t_img, np.asarray(out["p_Gk"]),
-                               np.asarray(out["q_kG"])))
-            return {"t": t_img, **{k: np.asarray(v) for k, v in out.items()}}
+            self.poses.append((t_img, out["p_Gk"], out["q_kG"]))
+            return {"t": t_img, **out}
         return None
 
     def spin(self, stop_event: Optional[threading.Event] = None,
