@@ -319,11 +319,15 @@ def _build_jacobians(z, phi, psi, rho, Rrel, trel, Rc, tc, c0, t_eff,
 def _householder_project(Hf, Hx, r):
     """Left-multiply [Hx | r] by Q^T from the QR of Hf (2L x 3).
 
-    Three explicit Householder reflections — orthogonally equivalent to the
+    Three Householder reflections — orthogonally equivalent to the
     reference's Givens sweep (Updater.cc:381-402).  Reflection vectors have
     zero entries on padded zero rows, so padding is preserved exactly.
     Returns (R_hf, Hx_proj, r_proj); rows >= N of the projected system form
     the marginalized measurement model.
+
+    (A compact-WY/blocked application was tried and measured SLOWER on
+    TPU — at these shapes the stage is op-count/latency-bound, not
+    traffic-bound, and WY adds ~15 small ops for 3 saved wide passes.)
     """
     m = Hf.shape[0]
     A = jnp.concatenate([Hf, Hx, r[:, None]], axis=1)
