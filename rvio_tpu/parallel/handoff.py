@@ -263,26 +263,32 @@ def run_segments_warm(cfg: RVIOConfig, state0: FilterState,
 
     # per-segment initial states: static init for segment 0, moving init for
     # the rest — closed-form v0/gravity bootstrap from the warm-up window's
-    # tracks + IMU, falling back to the raw accel direction if degenerate
-    imu_w = np.asarray(bundles.imu.w)
-    imu_a = np.asarray(bundles.imu.a)        # (T, K, 3)
-    imu_dt = np.asarray(bundles.imu.dt)
-    imu_valid = np.asarray(bundles.imu.valid)
-    meas = np.asarray(bundles.batch.meas)
-    track_len = np.asarray(bundles.batch.track_len)
-    bvalid = np.asarray(bundles.batch.valid)
-    L = meas.shape[2]
+    # tracks + IMU, falling back to the raw accel direction if degenerate.
+    #
+    # Only the per-segment bootstrap WINDOWS are pulled to the host: the
+    # bundle arrays may live on a remote device, and converting the full
+    # (T, F, L, 2) measurement tensor costs hours through a ~30 MB/s
+    # tunnel at drive scale (431 MB at 30 min — the round-3 long-run
+    # stall), while 16 windows are ~10 MB.
+    L = int(bundles.batch.meas.shape[2])
     states = [state0]
     # ~3 s of data makes the linear bootstrap accurate to ~0.1 m/s / 0.5 deg
     # (shorter windows are too noise-sensitive); must fit inside the warm-up
     nb = int(np.clip(3.0 * cfg.camera.fps, L + 4, W))
     for s in range(1, S):
         w0 = max(s * B - W, 0)
+        sl = slice(w0, min(w0 + nb, T))
+        imu_w = np.asarray(bundles.imu.w[sl])
+        imu_a = np.asarray(bundles.imu.a[sl])
+        imu_dt = np.asarray(bundles.imu.dt[sl])
+        imu_valid = np.asarray(bundles.imu.valid[sl])
         boot = bootstrap_velocity_gravity(
-            cfg, imu_w, imu_a, imu_dt, imu_valid, meas, track_len, bvalid,
-            w0, nb)
-        v = imu_valid[w0]
-        a0 = imu_a[w0][v].mean(axis=0) if v.any() else np.array([0, 0, 1.0])
+            cfg, imu_w, imu_a, imu_dt, imu_valid,
+            np.asarray(bundles.batch.meas[sl]),
+            np.asarray(bundles.batch.track_len[sl]),
+            np.asarray(bundles.batch.valid[sl]), 0, nb)
+        v = imu_valid[0]
+        a0 = imu_a[0][v].mean(axis=0) if v.any() else np.array([0, 0, 1.0])
         if boot is not None:
             v0, g0u = boot
             states.append(warm_initialize(cfg, a0, dtype, v0=v0, g0=g0u,
@@ -292,7 +298,10 @@ def run_segments_warm(cfg: RVIOConfig, state0: FilterState,
     from rvio_tpu.parallel.segment import stack_states
     sstates = stack_states(states)
 
-    sbundles = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[idx]), bundles)
+    # segment gather stays ON DEVICE (a host round-trip of the gathered
+    # copy is another ~500 MB through the tunnel at drive scale)
+    idx_dev = jnp.asarray(idx)
+    sbundles = jax.tree.map(lambda x: jnp.asarray(x)[idx_dev], bundles)
     sok = jnp.asarray(ok)
 
     if mesh is not None:
