@@ -152,7 +152,15 @@ def bootstrap_velocity_gravity(cfg: RVIOConfig, imu_w, imu_a, imu_dt,
     # g), so measurement j sits at frame g - len + j — matching the filter's
     # clone association (update runs before frame g's clone is augmented)
     n_obs = 0
-    obs_cols = []
+    # Cap the number of tracks entering the solve: depths are per-
+    # observation unknowns, so the dense lstsq grows as (3*n_obs) x
+    # (6+n_obs) — at the 200-feature flagship budget an uncapped window
+    # holds ~1200 observations and the SVD costs ~minutes PER SEGMENT
+    # (the round-3 long-run stall #2).  ~50 tracks (~150 constraints for
+    # ~6+150 unknowns) already estimates v0/gravity to the noise floor;
+    # tracks are taken in frame order, striding the window evenly.
+    MAX_TRACKS = 50
+    cand = []
     for g in range(w0 + 1, hi):
         for f in range(meas.shape[1]):
             if not valid[g, f]:
@@ -165,9 +173,13 @@ def bootstrap_velocity_gravity(cfg: RVIOConfig, imu_w, imu_a, imu_dt,
                    if start + j >= w0]
             if len(obs) < 2:
                 continue
-            cols = list(range(n_obs, n_obs + len(obs)))
-            n_obs += len(obs)
-            obs_cols.append((obs, cols))
+            cand.append(obs)
+    stride = max(1, len(cand) // MAX_TRACKS)
+    obs_cols = []
+    for obs in cand[::stride][:MAX_TRACKS]:
+        cols = list(range(n_obs, n_obs + len(obs)))
+        n_obs += len(obs)
+        obs_cols.append((obs, cols))
 
     if n_obs == 0:
         return None
