@@ -152,15 +152,17 @@ def bootstrap_velocity_gravity(cfg: RVIOConfig, imu_w, imu_a, imu_dt,
     # g), so measurement j sits at frame g - len + j — matching the filter's
     # clone association (update runs before frame g's clone is augmented)
     n_obs = 0
-    # Cap the number of tracks entering the solve: depths are per-
-    # observation unknowns, so the dense lstsq grows as (3*n_obs) x
-    # (6+n_obs) — at the 200-feature flagship budget an uncapped window
-    # holds ~1200 observations and the SVD costs ~minutes PER SEGMENT
-    # (the round-3 long-run stall #2).  ~50 tracks (~150 constraints for
-    # ~6+150 unknowns) already estimates v0/gravity to the noise floor;
-    # tracks are taken in frame order, striding the window evenly.
-    MAX_TRACKS = 50
-    cand = []
+    # Depths are per-observation nuisance unknowns: solved JOINTLY the
+    # dense lstsq grows as (3*n_obs) x (6+n_obs) and its SVD costs
+    # minutes per segment at the 200-feature flagship budget (~1200 obs
+    # — the round-3 long-run stall #2).  But each track's depths appear
+    # only in that track's rows, so they are eliminated EXACTLY per
+    # track by projecting the track's rows onto the nullspace of its
+    # depth columns (the same marginalization the MSCKF update uses for
+    # landmarks) — leaving a small (rows, 6) system in [v0, gvec] that
+    # uses EVERY track at milliseconds of cost, with the identical
+    # least-squares solution for v0/gvec.
+    obs_tracks = []
     for g in range(w0 + 1, hi):
         for f in range(meas.shape[1]):
             if not valid[g, f]:
@@ -173,36 +175,41 @@ def bootstrap_velocity_gravity(cfg: RVIOConfig, imu_w, imu_a, imu_dt,
                    if start + j >= w0]
             if len(obs) < 2:
                 continue
-            cand.append(obs)
-    stride = max(1, len(cand) // MAX_TRACKS)
-    obs_cols = []
-    for obs in cand[::stride][:MAX_TRACKS]:
-        cols = list(range(n_obs, n_obs + len(obs)))
-        n_obs += len(obs)
-        obs_cols.append((obs, cols))
+            n_obs += len(obs)
+            obs_tracks.append(obs)
 
     if n_obs == 0:
         return None
 
-    n_unk = 6 + n_obs
     A_rows, b_rows = [], []
-    for obs, cols in obs_cols:
+    for obs in obs_tracks:
+        k = len(obs)
         i0, z0 = obs[0]
         u0 = Rs[i0] @ R_bc @ np.array([z0[0], z0[1], 1.0])
-        for (i, z), c in zip(obs[1:], cols[1:]):
+        Bt = np.zeros((3 * (k - 1), 6))
+        Dt = np.zeros((3 * (k - 1), k))
+        bt = np.zeros(3 * (k - 1))
+        for r, (i, z) in enumerate(obs[1:]):
             ui = Rs[i] @ R_bc @ np.array([z[0], z[1], 1.0])
-            row = np.zeros((3, n_unk))
-            row[:, 0:3] = (times[i0] - times[i]) * np.eye(3)
-            row[:, 3:6] = -0.5 * (times[i0] ** 2 - times[i] ** 2) * np.eye(3)
-            row[:, 6 + cols[0]] = u0
-            row[:, 6 + c] = -ui
-            rhs = alphas[i] - alphas[i0] + (Rs[i] - Rs[i0]) @ t_bc
-            A_rows.append(row)
-            b_rows.append(rhs)
-    if len(A_rows) < 4:
+            sl = slice(3 * r, 3 * r + 3)
+            Bt[sl, 0:3] = (times[i0] - times[i]) * np.eye(3)
+            Bt[sl, 3:6] = -0.5 * (times[i0] ** 2 - times[i] ** 2) * np.eye(3)
+            Dt[sl, 0] = u0
+            Dt[sl, r + 1] = -ui
+            bt[3 * r:3 * r + 3] = (alphas[i] - alphas[i0]
+                                   + (Rs[i] - Rs[i0]) @ t_bc)
+        Q, _ = np.linalg.qr(Dt, mode="complete")
+        N = Q[:, k:]                    # left nullspace of the depth block
+        if N.shape[1] == 0:
+            continue
+        A_rows.append(N.T @ Bt)
+        b_rows.append(N.T @ bt)
+    if not A_rows:
         return None
     A = np.concatenate(A_rows, axis=0)
     b = np.concatenate(b_rows, axis=0)
+    if A.shape[0] < 6:
+        return None
     sol, *_ = np.linalg.lstsq(A, b, rcond=None)
     v0, gvec = sol[0:3], sol[3:6]
     gn = np.linalg.norm(gvec)
@@ -324,11 +331,42 @@ def run_segments_warm(cfg: RVIOConfig, state0: FilterState,
         sok = jax.device_put(sok, seg_sh)
 
     run = make_masked_segment_scan(cfg)
-    _, outs = run(sstates, sbundles, sok)
+    fstates, outs = run(sstates, sbundles, sok)
 
-    stitched = stitch_warm_outputs(outs, W, B, T, OV)
+    # --- divergence repair (sequential fallback for failed segments) ---
+    # A warm start occasionally lands outside the filter's basin (bad
+    # bootstrap geometry): the chi2 gate then rejects everything and the
+    # segment dead-reckons away (body n_good ~ 0).  Such segments are
+    # re-run from the PREVIOUS segment's exact final state — a perfect
+    # checkpoint continuation, so their boundary transform is identity.
+    # Failures are rare (0-3 of 16 on the 30-min drive), so the repair
+    # pass costs one extra masked-scan dispatch per failure while the
+    # healthy segments keep the parallel wall-time.
+    ng = np.asarray(outs["n_good"])
+    okm = np.asarray(ok)
+    body_ng = np.array([ng[s, W:][okm[s, W:]].mean() if okm[s, W:].any()
+                        else 0.0 for s in range(S)])
+    identity_pairs = set()
+    repaired = []
+    for s in range(1, S):
+        if body_ng[s] >= 2.0:
+            continue
+        prev_state = jax.tree.map(lambda x: x[s - 1], fstates)
+        ok_s = np.array(okm[s])
+        ok_s[:W] = False                  # exact continuation: no warm-up
+        seg_bundle = jax.tree.map(lambda x: x[s][None], sbundles)
+        st1 = jax.tree.map(lambda x: x[None], prev_state)
+        f1, o1 = run(st1, seg_bundle, jnp.asarray(ok_s)[None])
+        fstates = jax.tree.map(lambda a, b: a.at[s].set(b[0]), fstates, f1)
+        outs = jax.tree.map(lambda a, b: a.at[s].set(b[0]), outs, o1)
+        identity_pairs.add(s)
+        repaired.append(s)
+
+    stitched = stitch_warm_outputs(outs, W, B, T, OV,
+                                   identity_pairs=identity_pairs)
     return stitched, outs, {"body_len": B, "warmup": W, "overlap_fit": OV,
-                            "plan_idx": idx, "plan_ok": ok}
+                            "plan_idx": idx, "plan_ok": ok,
+                            "repaired_segments": repaired}
 
 
 def _quat_to_rot_np(q: np.ndarray) -> np.ndarray:
@@ -347,8 +385,8 @@ def _quat_to_rot_np(q: np.ndarray) -> np.ndarray:
     return R
 
 
-def stitch_warm_outputs(outs: dict, W: int, B: int, T: int, OV: int
-                        ) -> np.ndarray:
+def stitch_warm_outputs(outs: dict, W: int, B: int, T: int, OV: int,
+                        identity_pairs=frozenset()) -> np.ndarray:
     """Join warm-segment outputs into one (T, 3) global trajectory.
 
     Alignment data: segment s's last OV warm-up frames cover the same
@@ -356,6 +394,10 @@ def stitch_warm_outputs(outs: dict, W: int, B: int, T: int, OV: int
     positions + world-from-body orientations (q_kG is the {G}->body JPL
     quaternion, so R_wb = R(q)^T) gives the pairwise boundary transforms,
     composed by the associative prefix product.
+
+    ``identity_pairs``: segment indices whose trajectory is an EXACT
+    continuation of the previous segment's frame (divergence-repaired
+    segments) — their boundary transform is identity by construction.
     """
     p = np.asarray(outs["p_Gk"])             # (S, W+B, 3)
     q = np.asarray(outs["q_kG"])             # (S, W+B, 4)
@@ -364,6 +406,9 @@ def stitch_warm_outputs(outs: dict, W: int, B: int, T: int, OV: int
 
     pair = [np.eye(4)]
     for s in range(1, S):
+        if s in identity_pairs:
+            pair.append(np.eye(4))
+            continue
         cur_sl = slice(W - OV, W)
         prev_sl = slice(W + B - OV, W + B)
         Tf = fit_yaw_transform(p[s, cur_sl], p[s - 1, prev_sl],
