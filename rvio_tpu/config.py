@@ -139,6 +139,14 @@ class InitConfig:
     # angle (deviation from the running mean, so a true constant bias
     # never trips it) at 0.5x threshold_angle.  False = strict parity.
     freeze_bias_average: bool = True
+    # Transport the frozen attitude/gravity average from motion onset to
+    # the gate-fire frame by integrating the (bias-corrected) gyro over
+    # the onset->fire gap.  The reference initializes attitude directly
+    # from the running average (System.cc:119-140), so the sub-threshold
+    # rotation before the gate fires becomes a CONSTANT unobservable
+    # attitude error of the {G} frame (~1.5 deg measured on the drive
+    # ramp -> ~2 % of path as pure lateral drift).  False = strict parity.
+    forward_rotate_attitude: bool = True
 
 
 @dataclass(frozen=True)
@@ -177,6 +185,13 @@ class TpuConfig:
     # (log-depth) instead of the reference-shaped per-sample loop; same
     # math, different fp summation order (filter/propagation.py).
     parallel_propagation: bool = True
+    # First-estimates Jacobians in the MSCKF update: linearize the window
+    # chain at the clones' augmentation-time values (filter/update.py)
+    # instead of relinearizing at current estimates every frame like the
+    # reference (Updater.cc:118-141).  Kills the spurious relative-pose/
+    # scale information leak that compounds into yaw drift on long drives;
+    # False = strict reference parity.
+    fej: bool = False
     donate_state: bool = True         # donate state buffers through the jitted step
 
 

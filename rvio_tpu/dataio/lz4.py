@@ -230,16 +230,28 @@ def compress_block(src: bytes) -> bytes:
     return bytes(out)
 
 
+_MAX_BLOCK = 4 << 20  # BD byte 0x70 declares a 4 MiB max block size
+
+
 def compress_frame(data: bytes) -> bytes:
-    """Produce a standard LZ4 frame (single block, content-size flag)."""
+    """Produce a standard LZ4 frame (content-size flag, <=4 MiB blocks).
+
+    Payloads larger than the declared max block size are split into
+    multiple blocks so the frame stays spec-conformant — the C
+    ``lz4.frame`` binding (the reader's preferred fast path) and external
+    tools reject frames whose blocks exceed the BD-declared size.
+    """
     flg = (1 << 6) | 0x08  # version 1, content size present
-    bd = 0x70  # max block size 4 MiB (descriptor only)
+    bd = 0x70
     desc = bytes([flg, bd]) + struct.pack("<Q", len(data))
     hc = (_xxh32(desc) >> 8) & 0xFF
-    block = compress_block(data)
-    if len(block) >= len(data) and len(data) > 0:
-        body = struct.pack("<I", 0x80000000 | len(data)) + data
-    else:
-        body = struct.pack("<I", len(block)) + block
+    body = b""
+    for off in range(0, max(len(data), 1), _MAX_BLOCK):
+        chunk = data[off:off + _MAX_BLOCK]
+        block = compress_block(chunk)
+        if len(block) >= len(chunk) and len(chunk) > 0:
+            body += struct.pack("<I", 0x80000000 | len(chunk)) + chunk
+        else:
+            body += struct.pack("<I", len(block)) + block
     return (struct.pack("<I", FRAME_MAGIC) + desc + bytes([hc])
             + body + struct.pack("<I", 0))

@@ -235,6 +235,14 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
         s_lm = landmarks @ d_unit
         s_order = np.argsort(s_lm)
         s_sorted = s_lm[s_order]
+        # The window must cover the worst-case landmark-to-camera DISTANCE
+        # a visible landmark can have: visibility bounds depth z < 25 m but
+        # the ray length is z*sqrt(1+xn^2+yn^2) at the frame corners —
+        # derived from the intrinsics (not hard-coded) + 1 m margin, so no
+        # visible landmark is ever excluded (or dropped mid-track).
+        xn_max = max(abs(10 - cx), abs(wpx - 10 - cx)) / fx
+        yn_max = max(abs(10 - cy), abs(hpx - 10 - cy)) / fy
+        s_window = 25.0 * float(np.sqrt(1 + xn_max ** 2 + yn_max ** 2)) + 1.0
 
     def project_candidates(t):
         """(ids, zn, px, vis) for this frame's candidate landmarks."""
@@ -247,8 +255,8 @@ def simulate_sequence(cfg: RVIOConfig, *, duration: float = 20.0,
             pts = landmarks
         else:
             s_rig = p_cam_w @ d_unit
-            lo = np.searchsorted(s_sorted, s_rig - 26.0)
-            hi = np.searchsorted(s_sorted, s_rig + 26.0)
+            lo = np.searchsorted(s_sorted, s_rig - s_window)
+            hi = np.searchsorted(s_sorted, s_rig + s_window)
             ids = np.sort(s_order[lo:hi])
             pts = landmarks[ids]
         pc = (pts - p_cam_w) @ R_wc             # (C,3) camera coords

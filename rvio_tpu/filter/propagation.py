@@ -199,7 +199,7 @@ def _propagate_sequential(state: FilterState, imu: ImuBlock, *,
         q_G=state.q_G, p_G=state.p_G, g=state.g,
         q_R=rot_to_quat(final.Rk), p_R=final.pk, v_R=final.vk,
         bg=bg, ba=ba, clones=state.clones, P=P, n_clones=state.n_clones,
-        frame_idx=state.frame_idx,
+        frame_idx=state.frame_idx, clones_fej=state.clones_fej,
     )
 
 
@@ -347,5 +347,5 @@ def _propagate_parallel(state: FilterState, imu: ImuBlock, *,
         q_G=state.q_G, p_G=state.p_G, g=state.g,
         q_R=qk, p_R=pk, v_R=vk,
         bg=bg, ba=ba, clones=state.clones, P=P, n_clones=state.n_clones,
-        frame_idx=state.frame_idx,
+        frame_idx=state.frame_idx, clones_fej=state.clones_fej,
     )

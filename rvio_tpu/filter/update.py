@@ -255,10 +255,15 @@ def _lm_triangulate(z, Rc, tc, track_len, sigma_im, L):
 
 
 def _build_jacobians(z, phi, psi, rho, Rrel, trel, Rc, tc, c0, t_eff,
-                     R_bc, t_bc, M):
+                     R_bc, t_bc, M, Rc_res, tc_res):
     """Residual + measurement Jacobians for one feature (Updater.cc:278-368).
 
     Returns r (2L,), Hf (2L,3), Hx (2L, 6M); rows i>=t_eff are zero.
+
+    The residual is always evaluated on the *current-estimate* camera chain
+    (Rc_res, tc_res); the Jacobian blocks use (Rrel, trel, Rc, tc), which
+    under FEJ mode is the chain built from the first-estimate clone values
+    (identical arrays otherwise — XLA CSEs the duplicate work away).
     """
     L = z.shape[0]
     dtype = z.dtype
@@ -267,8 +272,9 @@ def _build_jacobians(z, phi, psi, rho, Rrel, trel, Rc, tc, c0, t_eff,
     R_cb = R_bc.T
     t_cb = -R_cb @ t_bc
 
-    h = jnp.einsum("lij,j->li", Rc, epf) + rho * tc          # (L,3)
-    e = z - _project(h)                                       # (L,2)
+    h_res = jnp.einsum("lij,j->li", Rc_res, epf) + rho * tc_res
+    e = z - _project(h_res)                                   # (L,2)
+    h = jnp.einsum("lij,j->li", Rc, epf) + rho * tc          # (L,3) lin. pt
     Hp = _hproj(h)                                            # (L,2,3)
 
     rmask = jnp.arange(L) < t_eff
@@ -443,12 +449,25 @@ def tsqr_compress(Hw: jnp.ndarray, ro: jnp.ndarray, block_rows: int = 0,
 def msckf_update(state: FilterState, batch: UpdateBatch, *,
                  R_bc: np.ndarray, t_bc: np.ndarray, sigma_im: float,
                  min_clone_states: int, compression: str = "qr",
-                 use_pallas: bool = True, parallel_chains: bool = False):
+                 use_pallas: bool = True, parallel_chains: bool = False,
+                 fej: bool = False):
     """Full measurement update; returns (new_state, diagnostics).
 
     Equivalent to Updater::update (reference: Updater.cc:72-628) plus the
     System-level gate that skips the update until the window has more than
     ``min_clone_states`` clones (System.cc:266).
+
+    ``fej`` enables first-estimates-Jacobian mode (a consistency
+    improvement over the reference, which rebuilds the chains from the
+    current state every frame, Updater.cc:118-141): Hf/Hx linearize the
+    window chain at the clones' augmentation-time values
+    (``state.clones_fej``) while residuals, triangulation and landmark
+    outputs keep using the current estimates.  Repeatedly relinearizing
+    the SAME clone at different estimates across frames injects spurious
+    relative-pose/scale information (the global-yaw/position directions
+    are already structurally safe here: H's first 24 columns are zero);
+    pinning the linearization point removes that leak.  ``fej=False`` is
+    strict reference parity.
     """
     dtype = state.dtype
     F, L, _ = batch.meas.shape
@@ -466,17 +485,26 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     c0 = jnp.where(batch.is_type2, 0, n - (tlen - 1))
     c0 = jnp.clip(c0, 0, M)
 
-    def chains(c0_f):
-        Rrel, trel = _feature_chain(Rw, tw, c0_f, L)
-        # Camera-frame chain (Updater.cc:135-141).
-        R_cb = R_bc.T
-        t_cb = -R_cb @ t_bc
-        Rc = jnp.einsum("ab,lbc,cd->lad", R_cb, Rrel, R_bc)
-        tc = (jnp.einsum("ab,lbc,c->la", R_cb, Rrel, t_bc)
-              + jnp.einsum("ab,lb->la", R_cb, trel) + t_cb)
-        return Rrel, trel, Rc, tc
+    def make_chains(Rw_, tw_):
+        def chains(c0_f):
+            Rrel, trel = _feature_chain(Rw_, tw_, c0_f, L)
+            # Camera-frame chain (Updater.cc:135-141).
+            R_cb = R_bc.T
+            t_cb = -R_cb @ t_bc
+            Rc = jnp.einsum("ab,lbc,cd->lad", R_cb, Rrel, R_bc)
+            tc = (jnp.einsum("ab,lbc,c->la", R_cb, Rrel, t_bc)
+                  + jnp.einsum("ab,lb->la", R_cb, trel) + t_cb)
+            return Rrel, trel, Rc, tc
 
-    Rrel_a, trel_a, Rc_a, tc_a = jax.vmap(chains)(c0)
+        return jax.vmap(chains)(c0)
+
+    Rrel_a, trel_a, Rc_a, tc_a = make_chains(Rw, tw)
+    if fej:
+        Rw_j, tw_j = window_pose_chain(state.clones_fej, n,
+                                       parallel=parallel_chains)
+        Rrel_j, trel_j, Rc_j, tc_j = make_chains(Rw_j, tw_j)
+    else:
+        Rrel_j, trel_j, Rc_j, tc_j = Rrel_a, trel_a, Rc_a, tc_a
 
     on_tpu_f32 = (use_pallas and dtype == jnp.float32
                   and jax.default_backend() in ("tpu", "axon"))
@@ -491,13 +519,14 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
             lambda z, Rc, tc, tl: _lm_triangulate(z, Rc, tc, tl, sigma_im, L)
         )(batch.meas, Rc_a, tc_a, tlen)
 
-    def per_feature(z, tl, typ2, c0_f, Rrel, trel, Rc, tc, phi, psi, rho, ok):
+    def per_feature(z, tl, typ2, c0_f, Rrel, trel, Rc, tc,
+                    RrelJ, trelJ, RcJ, tcJ, phi, psi, rho, ok):
         # Type-2 truncation: only the first half of the track updates
         # (Updater.cc:271-275; Tracker.cc:317-334).
         t_eff = jnp.where(typ2, (tl + 1) // 2, tl)
 
-        r, Hf, Hx = _build_jacobians(z, phi, psi, rho, Rrel, trel, Rc, tc,
-                                     c0_f, t_eff, R_bc, t_bc, M)
+        r, Hf, Hx = _build_jacobians(z, phi, psi, rho, RrelJ, trelJ, RcJ,
+                                     tcJ, c0_f, t_eff, R_bc, t_bc, M, Rc, tc)
 
         # Rank check on the rho column before projection (Updater.cc:374-378).
         Ncols = jnp.where(jnp.linalg.norm(Hf[:, 2]) < 1e-4, 2, 3)
@@ -520,7 +549,7 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
 
     r_all, Hx_all, dof_all, ok_all, pfk_all, rho_all = jax.vmap(per_feature)(
         batch.meas, tlen, batch.is_type2, c0, Rrel_a, trel_a, Rc_a, tc_a,
-        phi_a, psi_a, rho_a, ok_lm)
+        Rrel_j, trel_j, Rc_j, tc_j, phi_a, psi_a, rho_a, ok_lm)
 
     # ---- Mahalanobis gating (Updater.cc:404-454) ----
     Pcl = state.P[24:, 24:]
@@ -631,6 +660,7 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
         v_R=sel(v_R, state.v_R), bg=sel(bg, state.bg), ba=sel(ba, state.ba),
         clones=sel(clones, state.clones), P=sel(P_new, state.P),
         n_clones=state.n_clones, frame_idx=state.frame_idx,
+        clones_fej=state.clones_fej,  # first estimates are never corrected
     )
     diagnostics = {
         "n_good": n_good, "passed": passed, "mahalanobis": D_all,

@@ -192,7 +192,13 @@ def _lk_level_kernel(tp_ref, ts_ref, scal_ref, out_ref, *,
         it, py, px, convf, alivef = carry
         d_ok = ((jnp.abs(py - giy) <= wander)
                 & (jnp.abs(px - gix) <= wander))
-        alivef = jnp.where(d_ok, alivef, 0.0)
+        # Gate the wander kill with the same iteration cap as the updates:
+        # the last trip's extra sub-steps (max_iters % CHECK_EVERY != 0)
+        # must not re-check d_ok on the post-final-update position — the
+        # 1-per-trip oracle never evaluates it there (d_ok is idempotent
+        # between position updates, so this reproduces its check sequence
+        # exactly).
+        alivef = jnp.where(d_ok | (it + j >= max_iters), alivef, 0.0)
         cur = sample_cur(py, px)
         di = cur - tmpl
         bx = jnp.sum(di * gx, axis=(0, 1))[None]

@@ -85,7 +85,8 @@ def warm_initialize(cfg: RVIOConfig, a0: np.ndarray, dtype=jnp.float64, *,
         g=jnp.asarray(g, dtype), q_R=st.q_R, p_R=st.p_R, v_R=v_R,
         bg=st.bg, ba=st.ba, clones=st.clones,
         P=jnp.asarray(np.diag(diag), dtype),
-        n_clones=jnp.int32(0), frame_idx=jnp.int32(0))
+        n_clones=jnp.int32(0), frame_idx=jnp.int32(0),
+        clones_fej=jnp.copy(st.clones))
 
 
 def _rodrigues(w: np.ndarray, dt: float) -> np.ndarray:

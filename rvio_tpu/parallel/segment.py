@@ -32,7 +32,8 @@ def _step_body(cfg: RVIOConfig):
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
                   compression=cfg.tpu.compression,
-                  use_pallas=cfg.tpu.use_pallas)
+                  use_pallas=cfg.tpu.use_pallas,
+                  fej=cfg.tpu.fej)
 
     def body(state: FilterState, bundle: FrameBundle):
         st = propagate(state, bundle.imu, **imu_kw)
@@ -50,7 +51,7 @@ def _state_spec() -> FilterState:
     seg = P("seg")
     return FilterState(q_G=seg, p_G=seg, g=seg, q_R=seg, p_R=seg, v_R=seg,
                        bg=seg, ba=seg, clones=seg, P=seg, n_clones=seg,
-                       frame_idx=seg)
+                       frame_idx=seg, clones_fej=seg)
 
 
 def _bundle_spec(time_axis: bool) -> FrameBundle:

@@ -44,6 +44,11 @@ def load_checkpoint(path: str, dtype=jnp.float32):
     z = np.load(path)
     fkw = {}
     for k in _FILTER_FIELDS:
+        if k == "clones_fej" and f"filter.{k}" not in z:
+            # checkpoints written before the FEJ window existed: seed the
+            # first estimates from the current clones
+            fkw[k] = jnp.copy(fkw["clones"])
+            continue
         v = z[f"filter.{k}"]
         if v.dtype.kind == "f":
             fkw[k] = jnp.asarray(v, dtype)

@@ -25,6 +25,16 @@ from rvio_tpu.runtime.step import FrameBundle, make_filter_step
 from rvio_tpu.state import FilterState, static_initialize
 
 
+def _rodrigues_np(w: np.ndarray, dt: float) -> np.ndarray:
+    """Exp(w dt) for a body-rate sample, host numpy."""
+    th = np.linalg.norm(w) * dt
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / np.linalg.norm(w)
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
 class InitializationGate:
     """Static-window motion detector + bias initializer.
 
@@ -48,6 +58,11 @@ class InitializationGate:
         # per-frame sums so the freeze can retroactively trim the
         # onset-to-detection lag (~0.5 s of sub-threshold rotation)
         self._frames: list = []
+        # body rotation accumulated between the frozen average window and
+        # the gate-fire frame (init.forward_rotate_attitude): the frozen
+        # gravity/axes are transported through it so sub-threshold
+        # pre-fire rotation cannot become a constant {G}-frame error
+        self.dR = np.eye(3)
 
     def feed(self, w: np.ndarray, a: np.ndarray, dts: np.ndarray
              ) -> Optional[FilterState]:
@@ -85,6 +100,7 @@ class InitializationGate:
                     # ramped for ~the trailing 0.6 s before the detrended
                     # deviation crossed the trip level
                     drop_t = 0.0
+                    dropped = []
                     while (self._frames and drop_t < 0.6
                            and self.n_imu - self._frames[-1][2] >= 20):
                         ws, as_, n, dt_f = self._frames.pop()
@@ -92,6 +108,16 @@ class InitializationGate:
                         self.a_sum -= as_
                         self.n_imu -= n
                         drop_t += dt_f
+                        dropped.append((ws, n, dt_f))
+                    # rotation over the trimmed lag (oldest first): each
+                    # trimmed frame contributes its bias-corrected mean
+                    # rate — sub-0.2 deg rotations, so per-frame constant-
+                    # rate integration is exact to rounding
+                    w_mean = (self.w_sum / self.n_imu if self.n_imu > 0
+                              else np.zeros(3))
+                    for ws, n, dt_f in reversed(dropped):
+                        self.dR = self.dR @ _rodrigues_np(
+                            ws / max(n, 1) - w_mean, dt_f)
             if not self.frozen:
                 self.w_sum += w.sum(axis=0)
                 self.a_sum += a.sum(axis=0)
@@ -99,6 +125,14 @@ class InitializationGate:
                 if cfg.init.freeze_bias_average:
                     self._frames.append((w.sum(axis=0), a.sum(axis=0),
                                          len(w), float(np.sum(dts))))
+            else:
+                # frozen, gate not yet fired: keep integrating the body
+                # rotation sample-by-sample (bias-corrected by the frozen
+                # gyro average)
+                w_mean = (self.w_sum / self.n_imu if self.n_imu > 0
+                          else np.zeros(3))
+                for wi, dt in zip(w, dts):
+                    self.dR = self.dR @ _rodrigues_np(wi - w_mean, dt)
             return None
 
         if self.n_imu == 0:
@@ -107,6 +141,8 @@ class InitializationGate:
             w_avg = self.w_sum / self.n_imu
             a_avg = self.a_sum / self.n_imu
             n = self.n_imu
+        dR = (self.dR if (cfg.init.freeze_bias_average
+                          and cfg.init.forward_rotate_attitude) else None)
         return static_initialize(
             jnp.asarray(w_avg, self.dtype), jnp.asarray(a_avg, self.dtype), n,
             gravity=cfg.imu.gravity, imu_rate=cfg.imu.rate_hz,
@@ -114,7 +150,7 @@ class InitializationGate:
             sigma_wa=cfg.imu.sigma_wa,
             enable_alignment=cfg.init.enable_alignment,
             max_clones=cfg.window_size, sigma_v0=cfg.init.sigma_v0,
-            use_bias_estimates=n > 1)
+            use_bias_estimates=n > 1, dR_since_avg=dR)
 
 
 def bundle_imu(imu_t: np.ndarray, imu_w: np.ndarray, imu_a: np.ndarray,

@@ -51,6 +51,7 @@ def make_filter_step(cfg: RVIOConfig, donate: bool = True):
                   min_clone_states=cfg.min_clone_states,
                   compression=cfg.tpu.compression,
                   use_pallas=cfg.tpu.use_pallas,
+                  fej=cfg.tpu.fej,
                   parallel_chains=cfg.tpu.parallel_propagation)
 
     def step(state: FilterState, bundle: FrameBundle
@@ -89,6 +90,7 @@ def make_sequence_scan(cfg: RVIOConfig):
                   min_clone_states=cfg.min_clone_states,
                   compression=cfg.tpu.compression,
                   use_pallas=cfg.tpu.use_pallas,
+                  fej=cfg.tpu.fej,
                   parallel_chains=cfg.tpu.parallel_propagation)
 
     def body(state, bundle):
@@ -127,7 +129,8 @@ def make_batched_sequence_scan(cfg: RVIOConfig):
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
                   compression=cfg.tpu.compression,
-                  use_pallas=cfg.tpu.use_pallas)
+                  use_pallas=cfg.tpu.use_pallas,
+                  fej=cfg.tpu.fej)
 
     def body(state, bundle):
         st = propagate(state, bundle.imu, **imu_kw)

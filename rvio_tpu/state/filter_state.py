@@ -67,6 +67,16 @@ class FilterState:
     P: jnp.ndarray          # (24+6M, 24+6M)
     n_clones: jnp.ndarray   # () int32 — valid clones
     frame_idx: jnp.ndarray  # () int32 — images processed since init
+    # First-estimate (FEJ) clone transitions: each slot holds the clone's
+    # value at augmentation time and is NEVER corrected by EKF updates (it
+    # shifts with the window like ``clones``).  With ``tpu.fej`` the update
+    # Jacobians linearize the window chain here while residuals use the
+    # current ``clones`` — pinning the chain's linearization point so
+    # repeated relinearization of shared clones across frames cannot
+    # inject spurious relative-pose/scale information (the consistency
+    # defect the reference inherits by re-deriving chains from the current
+    # state every frame, Updater.cc:118-141).  No reference equivalent.
+    clones_fej: jnp.ndarray  # (M, 7)
 
     @property
     def max_clones(self) -> int:
@@ -99,7 +109,7 @@ def make_initial_state(max_clones: int, dtype=jnp.float32) -> FilterState:
         q_R=qid, p_R=jnp.zeros(3, dtype), v_R=jnp.zeros(3, dtype),
         bg=jnp.zeros(3, dtype), ba=jnp.zeros(3, dtype), clones=clones,
         P=jnp.zeros((d, d), dtype), n_clones=jnp.int32(0),
-        frame_idx=jnp.int32(0),
+        frame_idx=jnp.int32(0), clones_fej=jnp.copy(clones),
     )
 
 
@@ -108,7 +118,8 @@ def static_initialize(w_avg: jnp.ndarray, a_avg: jnp.ndarray, n_imu,
                       sigma_a: float, sigma_wg: float, sigma_wa: float,
                       enable_alignment: bool, max_clones: int,
                       sigma_v0: float = 0.0,
-                      use_bias_estimates=True) -> FilterState:
+                      use_bias_estimates=True,
+                      dR_since_avg=None) -> FilterState:
     """Build the initial filter state from a static-window IMU average.
 
     Mirrors System::initialize (reference: System.cc:115-170):
@@ -116,6 +127,17 @@ def static_initialize(w_avg: jnp.ndarray, a_avg: jnp.ndarray, n_imu,
     - optional gravity-aligned {G} axes -> q_G;
     - biases bg = w_avg, ba = a_avg - G*g when >1 static samples were seen;
     - P0 diagonal scaled by the static duration n_imu/imu_rate.
+
+    ``dR_since_avg``: optional (3,3) body rotation accumulated between the
+    (frozen) static-average window and the gate-fire frame, from gyro
+    integration (init.forward_rotate_attitude).  The reference initializes
+    the attitude directly from the running average (System.cc:119-140), so
+    any sub-threshold rotation before the motion gate fires becomes a
+    CONSTANT unobservable attitude/gauge error of the {G} frame (measured:
+    ~1.5 deg on the drive workload's gentle ramp -> ~2 % of path as pure
+    lateral drift).  Transporting the averaged gravity/axes into the fire
+    frame (v_fire = dR^T v_onset) removes it; bias components are
+    body-fixed and need no transport.
 
     ``n_imu`` and ``use_bias_estimates`` may be traced values.
     """
@@ -138,6 +160,14 @@ def static_initialize(w_avg: jnp.ndarray, a_avg: jnp.ndarray, n_imu,
     bg = jnp.where(use_bias, w_avg, jnp.zeros(3, dtype))
     ba = jnp.where(use_bias, a_avg - gravity * g, jnp.zeros(3, dtype))
 
+    if dR_since_avg is not None:
+        # transport gravity + {G} axes from the average window's body frame
+        # into the fire frame: v_fire = dR^T v_onset (biases are body-fixed)
+        dRT = jnp.asarray(dR_since_avg, dtype).T
+        g = dRT @ g
+        g = g / jnp.linalg.norm(g)
+        R = dRT @ R
+
     n_imu = jnp.asarray(n_imu, dtype=dtype)
     dt = 1.0 / imu_rate
     diag = jnp.zeros(24 + 6 * max_clones, dtype)
@@ -152,6 +182,7 @@ def static_initialize(w_avg: jnp.ndarray, a_avg: jnp.ndarray, n_imu,
         q_G=rot_to_quat(R), p_G=st.p_G, g=g, q_R=st.q_R, p_R=st.p_R,
         v_R=st.v_R, bg=bg, ba=ba, clones=st.clones, P=P,
         n_clones=jnp.int32(0), frame_idx=jnp.int32(0),
+        clones_fej=jnp.copy(st.clones),
     )
 
 

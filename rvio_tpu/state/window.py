@@ -42,9 +42,16 @@ def augment_window(state: FilterState) -> FilterState:
     P_aug = state.P[src][:, src]
 
     new_clone = jnp.concatenate([state.q_R, state.p_R])
-    clones_growth = state.clones.at[jnp.clip(n, 0, M - 1)].set(new_clone)
-    clones_full = jnp.concatenate([state.clones[1:], new_clone[None]], axis=0)
-    clones_aug = jnp.where(n < M, clones_growth, clones_full)
+
+    def _append(window):
+        growth = window.at[jnp.clip(n, 0, M - 1)].set(new_clone)
+        full = jnp.concatenate([window[1:], new_clone[None]], axis=0)
+        return jnp.where(n < M, growth, full)
+
+    clones_aug = _append(state.clones)
+    # The new clone's FEJ value IS its current (first) estimate; existing
+    # FEJ slots shift with the window but are never re-estimated.
+    fej_aug = _append(state.clones_fej)
     n_aug = jnp.minimum(n + 1, M)
 
     # First post-init image: no augmentation (window still empty).
@@ -56,6 +63,7 @@ def augment_window(state: FilterState) -> FilterState:
         P=jnp.where(do_aug, P_aug, state.P),
         n_clones=jnp.where(do_aug, n_aug, n).astype(jnp.int32),
         frame_idx=state.frame_idx,
+        clones_fej=jnp.where(do_aug, fej_aug, state.clones_fej),
     )
 
 
@@ -105,6 +113,6 @@ def compose_state(state: FilterState
         q_R=jnp.array([0, 0, 0, 1], dtype=dtype),
         p_R=jnp.zeros(3, dtype), v_R=vk, bg=state.bg, ba=state.ba,
         clones=state.clones, P=P, n_clones=state.n_clones,
-        frame_idx=state.frame_idx + 1,
+        frame_idx=state.frame_idx + 1, clones_fej=state.clones_fej,
     )
     return new_state, (q_kG, p_Gk, vk)
