@@ -192,6 +192,20 @@ class TpuConfig:
     # scale information leak that compounds into yaw drift on long drives;
     # False = strict reference parity.
     fej: bool = False
+    # Innovation-based online calibration of the image-noise variance
+    # (filter/update.py): the reference pins sigma to the config value
+    # forever (Updater.cc:44); an over-stated sigma feeds the weakly-
+    # observable yaw/gyro-bias drift equilibrium (16x end-drift effect
+    # measured on the drive workload).  False = strict reference parity.
+    # Measured (5-min noisy drive): end drift 0.66 -> 0.33 %, ATE 1.26 ->
+    # 0.24 m; flagship bounded ATE 0.0102 -> 0.0082 m.
+    adaptive_noise: bool = True
+    # Frames over which DOWNWARD noise adaptation ramps to full rate
+    # (0 = immediately).  Warm-handoff segments start with an inflated
+    # scale and must not tighten before the filter converges
+    # (parallel/handoff.py sets this to the warm-up length); nominal
+    # static-init runs keep 0.
+    adaptive_rampup_frames: int = 0
     donate_state: bool = True         # donate state buffers through the jitted step
 
 

@@ -22,3 +22,19 @@ def chi2_gate_thresholds(max_dof: int, dtype=np.float32) -> np.ndarray:
     if max_dof > MAX_DOF:
         raise ValueError(f"max_dof {max_dof} exceeds table size {MAX_DOF}")
     return CHI2_095[:max_dof].astype(dtype)
+
+
+def chi2_truncated_means(max_dof: int, dtype=np.float32) -> np.ndarray:
+    """E[X | X < chi2(0.95, m)] for X ~ chi2_m, m = 1..max_dof.
+
+    The adaptive-noise estimator compares accepted features' Mahalanobis
+    distances against their expectation, but acceptance truncates the
+    distribution at the 95th percentile — the consistent-filter target is
+    this truncated mean, not m.  Identity: E[X 1{X<q}] = m F_{m+2}(q), so
+    E[X | X<q] = m F_{m+2}(q) / 0.95.
+    """
+    if max_dof > MAX_DOF:
+        raise ValueError(f"max_dof {max_dof} exceeds table size {MAX_DOF}")
+    m = np.arange(1, max_dof + 1)
+    q = CHI2_095[:max_dof]
+    return (m * _chi2.cdf(q, m + 2) / 0.95).astype(dtype)

@@ -200,6 +200,7 @@ def _propagate_sequential(state: FilterState, imu: ImuBlock, *,
         q_R=rot_to_quat(final.Rk), p_R=final.pk, v_R=final.vk,
         bg=bg, ba=ba, clones=state.clones, P=P, n_clones=state.n_clones,
         frame_idx=state.frame_idx, clones_fej=state.clones_fej,
+        sigma2_scale=state.sigma2_scale,
     )
 
 
@@ -348,4 +349,5 @@ def _propagate_parallel(state: FilterState, imu: ImuBlock, *,
         q_R=qk, p_R=pk, v_R=vk,
         bg=bg, ba=ba, clones=state.clones, P=P, n_clones=state.n_clones,
         frame_idx=state.frame_idx, clones_fej=state.clones_fej,
+        sigma2_scale=state.sigma2_scale,
     )

@@ -54,12 +54,22 @@ def _cam_kwargs(cfg: RVIOConfig):
                 p1=c.p1, p2=c.p2, k3=c.k3, fisheye=c.is_fisheye)
 
 
-def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
+def make_tracker(cfg: RVIOConfig, dtype=jnp.float32, mesh=None):
     """Build (init_fn, track_fn) jitted front-end entry points.
 
     init_fn(image) -> TrackerState                       (first frame)
     track_fn(state, image, imu_w, imu_dt, imu_valid, key)
         -> (TrackerState, UpdateBatch, debug dict)
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``feat`` axis — the
+    KLT stage (the tracker's only per-feature-heavy stage, ~0.4 of the
+    ~1.4 ms frame at the flagship budget) then runs under ``shard_map``
+    with the feature axis split over ``feat`` and the pyramids
+    replicated.  Feature lanes are independent in KLT, so per-shard
+    outputs equal the unsharded ones exactly (tests/test_parallel.py);
+    the cheap global stages (RANSAC scoring, lifecycle compaction,
+    refill occupancy) stay replicated — sharding them would trade a few
+    microseconds of VPU work for all-gathers of the whole state.
     """
     N = cfg.tracker.num_features
     L = cfg.tracker.max_tracking_length
@@ -110,24 +120,41 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32):
         return TrackerState(pos=pos, hist=hist, length=length, active=active,
                             pyramid=pyr), jnp.sum(active.astype(jnp.int32))
 
+    def _klt(prev_pyr, next_pyr, pos, active):
+        if use_fused_klt:
+            return klt_track_fused(
+                list(prev_pyr), list(next_pyr), pos, active,
+                win=cfg.tracker.klt_window,
+                max_iters=cfg.tracker.klt_max_iters,
+                eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig)
+        return klt_track(
+            list(prev_pyr), list(next_pyr), pos, active,
+            win=cfg.tracker.klt_window,
+            max_iters=cfg.tracker.klt_max_iters,
+            eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig,
+            use_pallas=cfg.tpu.use_pallas)
+
+    if mesh is not None and "feat" in mesh.axis_names:
+        from functools import partial as _partial
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as _P
+        n_shards = mesh.shape["feat"]
+        if N % n_shards:
+            raise ValueError(f"num_features {N} must divide feat={n_shards}")
+        pyr_spec = tuple(_P() for _ in range(levels + 1))
+        _klt = _partial(
+            shard_map, mesh=mesh,
+            in_specs=(pyr_spec, pyr_spec, _P("feat"), _P("feat")),
+            out_specs=(_P("feat"), _P("feat"), _P("feat")),
+            check_vma=False)(_klt)
+
     @jax.jit
     def track_fn(ts: TrackerState, image, imu_w, imu_dt, imu_valid, key):
         pyr = preprocess(image)
 
         # --- KLT (Tracker.cc:237-244) ---
-        if use_fused_klt:
-            new_pos, status, err = klt_track_fused(
-                list(ts.pyramid), list(pyr), ts.pos, ts.active,
-                win=cfg.tracker.klt_window,
-                max_iters=cfg.tracker.klt_max_iters,
-                eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig)
-        else:
-            new_pos, status, err = klt_track(
-                list(ts.pyramid), list(pyr), ts.pos, ts.active,
-                win=cfg.tracker.klt_window,
-                max_iters=cfg.tracker.klt_max_iters,
-                eps=cfg.tracker.klt_eps, min_eig=cfg.tracker.klt_min_eig,
-                use_pallas=cfg.tpu.use_pallas)
+        new_pos, status, err = _klt(tuple(ts.pyramid), tuple(pyr),
+                                    ts.pos, ts.active)
 
         zn = undistort_normalize(new_pos, **cam).astype(dtype)
 

@@ -33,7 +33,9 @@ def _step_body(cfg: RVIOConfig):
                   min_clone_states=cfg.min_clone_states,
                   compression=cfg.tpu.compression,
                   use_pallas=cfg.tpu.use_pallas,
-                  fej=cfg.tpu.fej)
+                  fej=cfg.tpu.fej,
+                  adaptive_noise=cfg.tpu.adaptive_noise,
+                  adaptive_rampup=cfg.tpu.adaptive_rampup_frames)
 
     def body(state: FilterState, bundle: FrameBundle):
         st = propagate(state, bundle.imu, **imu_kw)
@@ -51,7 +53,8 @@ def _state_spec() -> FilterState:
     seg = P("seg")
     return FilterState(q_G=seg, p_G=seg, g=seg, q_R=seg, p_R=seg, v_R=seg,
                        bg=seg, ba=seg, clones=seg, P=seg, n_clones=seg,
-                       frame_idx=seg, clones_fej=seg)
+                       frame_idx=seg, clones_fej=seg,
+                       sigma2_scale=seg)
 
 
 def _bundle_spec(time_axis: bool) -> FrameBundle:

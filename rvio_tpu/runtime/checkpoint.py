@@ -44,6 +44,9 @@ def load_checkpoint(path: str, dtype=jnp.float32):
     z = np.load(path)
     fkw = {}
     for k in _FILTER_FIELDS:
+        if k == "sigma2_scale" and f"filter.{k}" not in z:
+            fkw[k] = jnp.ones((), dtype)
+            continue
         if k == "clones_fej" and f"filter.{k}" not in z:
             # checkpoints written before the FEJ window existed: seed the
             # first estimates from the current clones

@@ -61,19 +61,38 @@ class ImagePipeline:
                        o["n_usable"].astype(jnp.float32),
                        o["tl_good_sum"].astype(jnp.float32)])]))
 
+    def process_device(self, t, image, imu_w, imu_a, imu_dts):
+        """Run one frame and return the packed outputs as a DEVICE array.
+
+        No device->host synchronization happens here — the caller decides
+        when to pay the readback (see :meth:`unpack`), which lets a
+        pipelined consumer overlap frame k-1's readback RPC with frame k's
+        H2D + compute (the transfers ride the link while the readback
+        round-trip is in flight).
+        """
+        out = self.process(t, image, imu_w, imu_a, imu_dts)
+        if out is None:
+            return None
+        return self._pack(out)
+
+    @staticmethod
+    def unpack(v) -> dict:
+        """Host dict from a packed output vector (ONE device->host read)."""
+        v = np.asarray(v)
+        return {"q_kG": v[0:4], "p_Gk": v[4:7], "v_k": v[7:10],
+                "n_good": int(v[10]), "did_update": bool(v[11] > 0.5),
+                "n_usable": int(v[12]), "tl_good_sum": int(v[13])}
+
     def process_packed(self, t, image, imu_w, imu_a, imu_dts):
         """Like :meth:`process` but returns a host dict from ONE transfer.
 
         Keys: q_kG, p_Gk, v_k, n_good, did_update, n_usable, tl_good_sum
         (no per-feature diagnostics — use :meth:`process` for those).
         """
-        out = self.process(t, image, imu_w, imu_a, imu_dts)
-        if out is None:
+        dev = self.process_device(t, image, imu_w, imu_a, imu_dts)
+        if dev is None:
             return None
-        v = np.asarray(self._pack(out))
-        return {"q_kG": v[0:4], "p_Gk": v[4:7], "v_k": v[7:10],
-                "n_good": int(v[10]), "did_update": bool(v[11] > 0.5),
-                "n_usable": int(v[12]), "tl_good_sum": int(v[13])}
+        return self.unpack(dev)
 
     def process(self, t: float, image: np.ndarray, imu_w, imu_a, imu_dts):
         """Feed one frame; returns (q_kG, p_Gk, v, n_good) or None pre-init."""

@@ -47,6 +47,7 @@ class OnlineDriver:
         self._last_seq = {"imu": None, "image": None}
         self._seq_lock = threading.Lock()
         self.poses = []          # (t, p_Gk, q_kG) appended per processed frame
+        self._pending = None     # in-flight frame of the pipelined spin
 
     def _check_seq(self, stream: str, seq: Optional[int]) -> None:
         if seq is None:
@@ -66,7 +67,11 @@ class OnlineDriver:
 
     def push_image(self, t: float, image, seq: Optional[int] = None) -> None:
         self._check_seq("image", seq)
-        self.buffer.push_image(t, image)
+        # start the H2D transfer at PUSH time (async dispatch): the upload
+        # then overlaps whatever IMU-coverage wait precedes processing —
+        # through a remote tunnel the ~12 ms frame upload is the second-
+        # largest live-latency term after the readback RPC
+        self.buffer.push_image(t, jnp.asarray(image))
 
     def spin_once(self) -> Optional[dict]:
         """Process the next ready frame; returns its outputs or None.
@@ -83,11 +88,49 @@ class OnlineDriver:
         if m is None:
             return None
         t_img, image, w, a, dt = m
-        out = self.pipeline.process_packed(t_img, np.asarray(image), w, a, dt)
+        out = self.pipeline.process_packed(t_img, image, w, a, dt)
         if out is not None:
             self.poses.append((t_img, out["p_Gk"], out["q_kG"]))
             return {"t": t_img, **out}
         return None
+
+    def spin_once_pipelined(self) -> Optional[dict]:
+        """One-frame-deep pipelined spin: dispatch the next ready frame,
+        return the PREVIOUS frame's outputs (one frame of output lag).
+
+        The previous frame's device->host readback (a full RPC round-trip
+        on remote devices) overlaps this frame's H2D upload + compute, so
+        the steady-state per-frame wall cost drops from
+        upload+compute+readback to ~max(upload+compute, readback).  Use
+        when frames queue faster than single-frame latency (backlog /
+        replay-through-live-path); call :meth:`drain` at end of stream.
+        """
+        m = self.buffer.get_measurements(self.cfg.camera.time_offset)
+        dispatched = None
+        if m is not None:
+            t_img, image, w, a, dt = m
+            dev = self.pipeline.process_device(t_img, image, w, a, dt)
+            if dev is not None:
+                dispatched = (t_img, dev)
+        prev = getattr(self, "_pending", None)
+        self._pending = dispatched
+        if prev is None:
+            return None
+        t_prev, dev_prev = prev
+        out = self.pipeline.unpack(dev_prev)
+        self.poses.append((t_prev, out["p_Gk"], out["q_kG"]))
+        return {"t": t_prev, **out}
+
+    def drain(self) -> Optional[dict]:
+        """Resolve and return the last in-flight pipelined frame, if any."""
+        prev = getattr(self, "_pending", None)
+        self._pending = None
+        if prev is None:
+            return None
+        t_prev, dev_prev = prev
+        out = self.pipeline.unpack(dev_prev)
+        self.poses.append((t_prev, out["p_Gk"], out["q_kG"]))
+        return {"t": t_prev, **out}
 
     def spin(self, stop_event: Optional[threading.Event] = None,
              idle_wait_s: float = 0.002) -> None:

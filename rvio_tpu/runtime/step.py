@@ -52,6 +52,8 @@ def make_filter_step(cfg: RVIOConfig, donate: bool = True):
                   compression=cfg.tpu.compression,
                   use_pallas=cfg.tpu.use_pallas,
                   fej=cfg.tpu.fej,
+                  adaptive_noise=cfg.tpu.adaptive_noise,
+                  adaptive_rampup=cfg.tpu.adaptive_rampup_frames,
                   parallel_chains=cfg.tpu.parallel_propagation)
 
     def step(state: FilterState, bundle: FrameBundle
@@ -91,6 +93,8 @@ def make_sequence_scan(cfg: RVIOConfig):
                   compression=cfg.tpu.compression,
                   use_pallas=cfg.tpu.use_pallas,
                   fej=cfg.tpu.fej,
+                  adaptive_noise=cfg.tpu.adaptive_noise,
+                  adaptive_rampup=cfg.tpu.adaptive_rampup_frames,
                   parallel_chains=cfg.tpu.parallel_propagation)
 
     def body(state, bundle):
@@ -130,7 +134,9 @@ def make_batched_sequence_scan(cfg: RVIOConfig):
                   min_clone_states=cfg.min_clone_states,
                   compression=cfg.tpu.compression,
                   use_pallas=cfg.tpu.use_pallas,
-                  fej=cfg.tpu.fej)
+                  fej=cfg.tpu.fej,
+                  adaptive_noise=cfg.tpu.adaptive_noise,
+                  adaptive_rampup=cfg.tpu.adaptive_rampup_frames)
 
     def body(state, bundle):
         st = propagate(state, bundle.imu, **imu_kw)

@@ -77,6 +77,12 @@ class FilterState:
     # defect the reference inherits by re-deriving chains from the current
     # state every frame, Updater.cc:118-141).  No reference equivalent.
     clones_fej: jnp.ndarray  # (M, 7)
+    # Adaptive measurement-noise scale (tpu.adaptive_noise): multiplicative
+    # factor on sigma_im^2, EMA-driven toward whitened innovations
+    # (E[r^T S^-1 r] = DOF).  A mis-specified image noise feeds the classic
+    # weak-direction (yaw/bias) drift equilibrium — the reference pins
+    # sigma to the config value forever (Updater.cc:44).  1.0 = nominal.
+    sigma2_scale: jnp.ndarray  # () scalar
 
     @property
     def max_clones(self) -> int:
@@ -110,6 +116,7 @@ def make_initial_state(max_clones: int, dtype=jnp.float32) -> FilterState:
         bg=jnp.zeros(3, dtype), ba=jnp.zeros(3, dtype), clones=clones,
         P=jnp.zeros((d, d), dtype), n_clones=jnp.int32(0),
         frame_idx=jnp.int32(0), clones_fej=jnp.copy(clones),
+        sigma2_scale=jnp.ones((), dtype),
     )
 
 
@@ -182,7 +189,7 @@ def static_initialize(w_avg: jnp.ndarray, a_avg: jnp.ndarray, n_imu,
         q_G=rot_to_quat(R), p_G=st.p_G, g=g, q_R=st.q_R, p_R=st.p_R,
         v_R=st.v_R, bg=bg, ba=ba, clones=st.clones, P=P,
         n_clones=jnp.int32(0), frame_idx=jnp.int32(0),
-        clones_fej=jnp.copy(st.clones),
+        clones_fej=jnp.copy(st.clones), sigma2_scale=st.sigma2_scale,
     )
 
 

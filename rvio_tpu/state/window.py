@@ -64,6 +64,7 @@ def augment_window(state: FilterState) -> FilterState:
         n_clones=jnp.where(do_aug, n_aug, n).astype(jnp.int32),
         frame_idx=state.frame_idx,
         clones_fej=jnp.where(do_aug, fej_aug, state.clones_fej),
+        sigma2_scale=state.sigma2_scale,
     )
 
 
@@ -114,5 +115,6 @@ def compose_state(state: FilterState
         p_R=jnp.zeros(3, dtype), v_R=vk, bg=state.bg, ba=state.ba,
         clones=state.clones, P=P, n_clones=state.n_clones,
         frame_idx=state.frame_idx + 1, clones_fej=state.clones_fej,
+        sigma2_scale=state.sigma2_scale,
     )
     return new_state, (q_kG, p_Gk, vk)

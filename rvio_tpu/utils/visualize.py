@@ -67,12 +67,12 @@ def save_debug_image(path: str, img: np.ndarray) -> None:
     write_png_gray(path, np.clip(img, 0, 255).astype(np.uint8))
 
 
-def plot_trajectory_svg(path: str, est_p: np.ndarray,
-                        gt_p: Optional[np.ndarray] = None,
-                        landmarks: Optional[np.ndarray] = None,
-                        axes=(0, 1), size: int = 640,
-                        landmark_scale: Optional[float] = None) -> None:
-    """Top-down (or chosen-axes) trajectory plot as a standalone SVG.
+def trajectory_svg(est_p: np.ndarray,
+                   gt_p: Optional[np.ndarray] = None,
+                   landmarks: Optional[np.ndarray] = None,
+                   axes=(0, 1), size: int = 640,
+                   landmark_scale: Optional[float] = None) -> str:
+    """Top-down (or chosen-axes) trajectory plot as an SVG string.
 
     ``landmark_scale`` is the landmark marker size in world units
     (Landmark.nScale, the reference's rviz cube edge, Updater.cc:61-63);
@@ -126,5 +126,16 @@ def plot_trajectory_svg(path: str, est_p: np.ndarray,
         parts.append('<text x="12" y="38" font-size="13" fill="#2a7">ground '
                      'truth</text>')
     parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def plot_trajectory_svg(path: str, est_p: np.ndarray,
+                        gt_p: Optional[np.ndarray] = None,
+                        landmarks: Optional[np.ndarray] = None,
+                        axes=(0, 1), size: int = 640,
+                        landmark_scale: Optional[float] = None) -> None:
+    """Write :func:`trajectory_svg` to a file."""
     with open(path, "w") as f:
-        f.write("\n".join(parts))
+        f.write(trajectory_svg(est_p, gt_p=gt_p, landmarks=landmarks,
+                               axes=axes, size=size,
+                               landmark_scale=landmark_scale))

@@ -119,6 +119,10 @@ def main():
         "ate_m": round(ate_split, 3),
         "ate_vs_unsplit_m": round(ate_split - ate, 4),
         "max_dev_vs_unsplit_m": round(float(dev.max()), 3),
+        "repaired_segments": info["repaired_segments"],
+        "bootstrap_sigma_v": [
+            round(d["sigma_v"], 3) for d in info["bootstrap_diags"][1:]
+            if d and "sigma_v" in d],
         "end_drift_pct": round(
             100 * float(np.linalg.norm(stitched[-1] - gt[-1])) / path, 3)}))
 

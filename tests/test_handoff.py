@@ -52,7 +52,10 @@ class TestBootstrap:
             out = bootstrap_velocity_gravity(cfg, imu_w, imu_a, imu_dt,
                                              imu_valid, meas, tl, vv, w0, 30)
             assert out is not None
-            v0, g0 = out
+            v0, g0, diag = out
+            # the self-estimated accuracy must cover the actual error
+            # (pre-commit validation contract)
+            assert diag["sigma_v"] < 0.5
             k0 = idx0 + w0 - 1
             R0 = sim.gt_R[k0]
             v_gt = R0.T @ sim.gt_v[k0]

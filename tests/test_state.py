@@ -35,7 +35,8 @@ def _random_state(rng, n_clones=3, frame_idx=5):
         v_R=jnp.asarray(rng.normal(size=3)), bg=jnp.asarray(rng.normal(size=3) * 0.01),
         ba=jnp.asarray(rng.normal(size=3) * 0.01), clones=jnp.asarray(clones),
         P=jnp.asarray(P), n_clones=jnp.int32(n_clones),
-        frame_idx=jnp.int32(frame_idx), clones_fej=jnp.asarray(clones))
+        frame_idx=jnp.int32(frame_idx), clones_fej=jnp.asarray(clones),
+        sigma2_scale=jnp.ones(()))
 
 
 class TestStaticInit:
