@@ -120,6 +120,15 @@ class TestWarmHandoff:
         ok = np.asarray(outs["ok"])
         for s in range(8):
             assert ng[s][ok[s]].mean() > 3.0, f"segment {s} never updated"
+        # pre-commit bootstrap validation + the conservative warm noise
+        # scale must make every warm start converge on its own — zero
+        # sequential repairs (round-4 contract; the 30-min/16-way drive
+        # also measures 0, BASELINE.md)
+        assert info["repaired_segments"] == [], info["repaired_segments"]
+        # the accepted bootstraps carry confident self-estimates
+        for d in info["bootstrap_diags"][1:]:
+            assert d is not None and "sigma_v" in d, d
+            assert d["sigma_v"] < 0.5
 
 
 class TestStitchPrimitives:
