@@ -210,12 +210,14 @@ def parent() -> int:
             w2 = merged["runs"]["seg8"]["wall_s"]
             merged["scaling_efficiency_2proc_pct"] = round(100 * w1 / w2, 1)
             # per-frame cross-process all-reduce cost (feat layout):
-            # seg4_feat2 does HALF the segments of seg8; at equal
-            # efficiency its wall would be w2/2 + collective cost
+            # seg4_feat2 does HALF the segment work of seg8, so at equal
+            # efficiency its wall would be ~w2/2; the excess is the
+            # per-step gRPC collective cost of the cross-process feat
+            # sharding, amortized over the T frames of the scan
             T = merged["runs"]["seg8"]["frames"]
             wx = merged["runs"]["seg4_feat2_cross"]["wall_s"]
             merged["feat_allreduce_ms_per_frame"] = round(
-                max(wx - w2, 0.0) / T * 1e3, 3)
+                max(wx - w2 / 2, 0.0) / T * 1e3, 3)
         print(json.dumps(merged))
         return 0
     print(f"FAILED rc={rc}\n--- child tails ---\n{tail}", file=sys.stderr)

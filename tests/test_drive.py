@@ -6,8 +6,10 @@ gates end drift and ATE — this is the workload class that exposed the
 init-gate bias poisoning (BASELINE.md round 3), so it guards both the
 freeze_bias_average fix and general yaw-drift regressions.
 
-Measured at the gate's config (2026-08-21, f32): ATE 0.059 m, end drift
-2.0 % of a 295 m path.
+Measured at the gate's config (2026-08-21, f32): round 3 ATE 0.059 m /
+end drift 2.0 % of a 295 m path; round 4 (forward-rotated init attitude
++ adaptive measurement noise) ATE 0.039 m / 0.11 %.  The gate bounds are
+set so a regression to round-3 behavior FAILS.
 """
 
 import jax
@@ -40,9 +42,10 @@ def test_drive_cruise_drift():
     assert path > 250.0
     end_pct = 100 * float(np.linalg.norm(est[-1] - gt[-1])) / path
     ate = ate_rmse(est, gt)
-    # measured 2.0 % / 0.059 m; pre-fix (poisoned bias init) was 12 % / 1.5 m
-    assert end_pct < 4.0, f"drive end drift {end_pct:.2f}% over {path:.0f} m"
-    assert ate < 0.15, f"drive ATE {ate:.3f} m"
+    # measured 0.11 % / 0.039 m (round 4); round 3 was 2.0 % / 0.059 m and
+    # the pre-fix poisoned-bias init 12 % / 1.5 m — both must fail here
+    assert end_pct < 1.0, f"drive end drift {end_pct:.2f}% over {path:.0f} m"
+    assert ate < 0.10, f"drive ATE {ate:.3f} m"
     # the filter must keep updating the whole drive
     ng = np.asarray(out["n_good"])
     assert ng[len(ng) // 2:].mean() > 5.0
