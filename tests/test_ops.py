@@ -178,6 +178,36 @@ class TestClaheKernels:
         # H=440 (th=88, %8==0) with W needing reflect pad (W=750 -> tw=150)
         self._check(440, 750)
 
+    def test_hist_counts_exact(self):
+        """The nibble-factored histogram kernel must produce EXACT per-tile
+        counts (0/1 bf16 operands, f32 accumulation): compare the
+        unscrambled (tile, 256) histogram against numpy's, per tile."""
+        import jax.numpy as jnp
+        from rvio_tpu.ops.clahe import _hist_call, _R
+
+        rng = np.random.default_rng(5)
+        H, W, g = 480, 752, 5
+        th, tw = -(-H // g), -(-W // g)
+        Hp, Wp = th * g, tw * g
+        Wpx = -(-Wp // 128) * 128
+        img = rng.uniform(0, 255.0001, (H, W)).astype(np.float32)
+        x = np.pad(img, ((0, Hp - H), (0, Wp - W)), mode="reflect")
+        xp = np.pad(x, ((0, 0), (0, Wpx - Wp)))
+        wcol = np.arange(Wpx)
+        key = np.where(wcol < Wp, np.clip(wcol // tw, 0, g - 1),
+                       -(10 ** 6)).astype(np.float32)[None, :]
+        h3 = np.asarray(_hist_call(jnp.asarray(xp), jnp.asarray(key), g,
+                                   th // _R, interpret=True))
+        hist = np.transpose(h3.reshape(g, 16, 16, g),
+                            (0, 3, 1, 2)).reshape(g * g, 256)
+        for p in range(g):
+            for q in range(g):
+                tile = x[p * th:(p + 1) * th, q * tw:(q + 1) * tw]
+                ref = np.bincount(
+                    np.clip(tile.astype(np.int64).ravel(), 0, 255),
+                    minlength=256)
+                np.testing.assert_array_equal(hist[p * g + q], ref)
+
 
 class TestShiTomasiKernel:
     def test_matches_xla_interior(self):
