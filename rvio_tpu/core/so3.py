@@ -11,6 +11,22 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def rodrigues_np(w: np.ndarray, dt: float) -> np.ndarray:
+    """Exp(w dt) rotation matrix for one body-rate sample, host numpy.
+
+    Shared by the host-side init gate (runtime/driver.py) and the warm-
+    handoff bootstrap (parallel/handoff.py) — sample-by-sample gyro
+    integration outside jit.
+    """
+    th = np.linalg.norm(w) * dt
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / np.linalg.norm(w)
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
 
 
 def skew(w: jnp.ndarray) -> jnp.ndarray:

@@ -681,19 +681,48 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
                                   etrunc[jnp.clip(dof_all - 1, 0, 2 * L - 1)],
                                   0.0))
         ratio = sumD / jnp.maximum(denom, 1e-6)
+        # mass rejection (assumed sigma far below reality): plenty of
+        # usable features but the gate passes almost none, so no accepted-
+        # feature whitening statistic exists AND no update fires — were
+        # adaptation gated on do_update alone, the scale could never move
+        # in exactly the regime it must escape.  Walk it UP at full rate
+        # until features re-engage (the EMA then converges it normally).
+        # DISABLED in warm-start configs (adaptive_rampup > 0): there,
+        # persistent mass rejection means the warm convergence failed,
+        # and widening the gate lets the diverged segment re-engage on a
+        # subtly wrong state — hiding the low-n_good signature the
+        # handoff divergence detector and sequential repair pass key on.
+        # Measured (5-min 16-way drive): escape active -> segment 1's
+        # divergence undetected, 153 m ATE; escape off -> detected +
+        # repaired, 0.75 m.  Warm runs have the repair machinery; the
+        # escape is a COLD-start robustness feature.
+        if adaptive_rampup > 0:
+            mass_reject = jnp.bool_(False)
+        else:
+            n_usable_i = jnp.sum(usable.astype(jnp.int32))
+            mass_reject = (n_usable_i >= 5) & (n_good <= 2)
+        ratio = jnp.where(mass_reject, jnp.asarray(4.0, dtype), ratio)
         alpha = jnp.asarray(adaptive_alpha, dtype)
         if adaptive_rampup > 0:
             # warm-start regime (parallel/handoff.py): hold the
             # conservative initial scale by ramping DOWNWARD adaptation
             # with frame age — early over-confidence is what tips a
             # marginal warm convergence into the gate-rejection spiral;
-            # upward (robust) steps stay at full rate
+            # upward (robust) steps stay at full rate.  NOTE: a cold
+            # segment sharing the warm config (scale0 = 1) also has its
+            # early down-steps slowed, so its first `adaptive_rampup`
+            # frames differ slightly from an unsplit run — accepted:
+            # gating the ramp on the current scale instead was measured
+            # to re-open the warm-divergence hole the ramp exists to
+            # close (a marginal warm segment walks its scale below 1
+            # mid-warm-up and then collapses P at full rate).
             ramp = jnp.minimum(
                 state.frame_idx.astype(dtype) / adaptive_rampup, 1.0)
             alpha = jnp.where(ratio < 1.0, alpha * ramp, alpha)
         stepped = scale * jnp.exp(
             alpha * jnp.log(jnp.clip(ratio, 1e-2, 1e2)))
-        new_scale = jnp.where(do_update,
+        can_adapt = (n > min_clone_states) & (do_update | mass_reject)
+        new_scale = jnp.where(can_adapt,
                               jnp.clip(stepped, 0.01, 25.0),
                               state.sigma2_scale).astype(dtype)
     else:

@@ -36,6 +36,7 @@ import numpy as np
 
 from rvio_tpu.config import RVIOConfig
 from rvio_tpu.core.quaternion import rot_to_quat
+from rvio_tpu.core.so3 import rodrigues_np
 from rvio_tpu.parallel.stitch import fit_yaw_transform, prefix_product
 from rvio_tpu.runtime.step import FrameBundle
 from rvio_tpu.state import FilterState, make_initial_state
@@ -100,16 +101,6 @@ def warm_initialize(cfg: RVIOConfig, a0: np.ndarray, dtype=jnp.float64, *,
         sigma2_scale=jnp.asarray(sigma2_scale0, dtype))
 
 
-def _rodrigues(w: np.ndarray, dt: float) -> np.ndarray:
-    """Small-rotation matrix Exp(w dt), host numpy."""
-    th = np.linalg.norm(w) * dt
-    if th < 1e-12:
-        return np.eye(3)
-    k = w / np.linalg.norm(w)
-    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
-    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
-
-
 def bootstrap_velocity_gravity(cfg: RVIOConfig, imu_w, imu_a, imu_dt,
                                imu_valid, meas, track_len, valid,
                                w0: int, n_frames: int
@@ -132,7 +123,9 @@ def bootstrap_velocity_gravity(cfg: RVIOConfig, imu_w, imu_a, imu_dt,
     least-squares over all tracks ending inside the window recovers v0/g0.
 
     All inputs are host numpy slices of the full sequence arrays.  Returns
-    (v0, g0_unit) or None when there is not enough visual structure.
+    (v0, g0_unit, diag) — diag carries the solve's self-estimated accuracy
+    {sigma_v, sigma_g_rad, rms_residual, rows} for pre-commit validation —
+    or None when there is not enough visual structure.
     """
     T = len(imu_dt)
     G = cfg.imu.gravity
@@ -154,7 +147,7 @@ def bootstrap_velocity_gravity(cfg: RVIOConfig, imu_w, imu_a, imu_dt,
             f = R @ imu_a[g, k]
             alpha = alpha + beta * dt + 0.5 * f * dt * dt
             beta = beta + f * dt
-            R = R @ _rodrigues(imu_w[g, k], dt)
+            R = R @ rodrigues_np(imu_w[g, k], dt)
             t += dt
         i = g - w0
         times[i], Rs[i], alphas[i] = t, R.copy(), alpha.copy()
@@ -311,7 +304,10 @@ def run_segments_warm(cfg: RVIOConfig, state0: FilterState,
     S = n_segments
     W = warmup
     # warm starts keep their conservative noise scale until converged:
-    # downward adaptation ramps over the warm-up (see warm_initialize)
+    # downward adaptation ramps over the warm-up (see warm_initialize).
+    # The shared config also slows segment 0's (cold-init) early
+    # down-steps for its first W frames — a small, accepted deviation
+    # from an unsplit run (see the note in filter/update.py).
     cfg = cfg.replace(tpu=_dc.replace(cfg.tpu, adaptive_rampup_frames=W))
     idx, ok, B = segment_plan(T, S, W)
     OV = overlap_fit if overlap_fit is not None else max(2, min(W // 2, B))
@@ -355,16 +351,26 @@ def run_segments_warm(cfg: RVIOConfig, state0: FilterState,
                 np.asarray(bundles.batch.valid[sl]), 0, nb_c)
             if boot is not None:
                 cands.append(boot)
-                if boot[2]["sigma_v"] < 0.15:   # already tight; stop early
+                # stop early only when BOTH self-estimates are tight —
+                # a tight sigma_v with weakly-excited gravity must still
+                # try the longer window before the joint bound rejects it
+                if (boot[2]["sigma_v"] < 0.15
+                        and boot[2]["sigma_g_rad"] < np.radians(3.0)):
                     break
             if nb_c >= W:
                 break
         v = np.asarray(bundles.imu.valid[w0])
         a_row = np.asarray(bundles.imu.a[w0])
         a0 = a_row[v].mean(axis=0) if v.any() else np.array([0, 0, 1.0])
-        best = min(cands, key=lambda c: c[2]["sigma_v"]) if cands else None
-        if best is not None and (best[2]["sigma_v"] < MAX_SIGMA_V
-                                 and best[2]["sigma_g_rad"] < MAX_SIGMA_G):
+        def _ok(c):
+            return (c[2]["sigma_v"] < MAX_SIGMA_V
+                    and c[2]["sigma_g_rad"] < MAX_SIGMA_G)
+
+        # prefer candidates inside the joint acceptance region (a window
+        # with the tightest sigma_v may still fail on sigma_g)
+        pool = [c for c in cands if _ok(c)] or cands
+        best = min(pool, key=lambda c: c[2]["sigma_v"]) if pool else None
+        if best is not None and _ok(best):
             v0, g0u, bd = best
             # honest priors: 3x the bootstrap's self-estimated std,
             # floored at the nominal optimistic values

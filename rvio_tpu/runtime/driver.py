@@ -19,20 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from rvio_tpu.config import RVIOConfig
+from rvio_tpu.core.so3 import rodrigues_np
 from rvio_tpu.filter.propagation import make_imu_block
 from rvio_tpu.filter.update import UpdateBatch
 from rvio_tpu.runtime.step import FrameBundle, make_filter_step
 from rvio_tpu.state import FilterState, static_initialize
-
-
-def _rodrigues_np(w: np.ndarray, dt: float) -> np.ndarray:
-    """Exp(w dt) for a body-rate sample, host numpy."""
-    th = np.linalg.norm(w) * dt
-    if th < 1e-12:
-        return np.eye(3)
-    k = w / np.linalg.norm(w)
-    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
-    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
 
 
 class InitializationGate:
@@ -116,7 +107,7 @@ class InitializationGate:
                     w_mean = (self.w_sum / self.n_imu if self.n_imu > 0
                               else np.zeros(3))
                     for ws, n, dt_f in reversed(dropped):
-                        self.dR = self.dR @ _rodrigues_np(
+                        self.dR = self.dR @ rodrigues_np(
                             ws / max(n, 1) - w_mean, dt_f)
             if not self.frozen:
                 self.w_sum += w.sum(axis=0)
@@ -132,7 +123,7 @@ class InitializationGate:
                 w_mean = (self.w_sum / self.n_imu if self.n_imu > 0
                           else np.zeros(3))
                 for wi, dt in zip(w, dts):
-                    self.dR = self.dR @ _rodrigues_np(wi - w_mean, dt)
+                    self.dR = self.dR @ rodrigues_np(wi - w_mean, dt)
             return None
 
         if self.n_imu == 0:

@@ -84,6 +84,11 @@ class OnlineDriver:
         per-feature diagnostics (landmarks etc.) are available through
         ``pipeline.process`` directly when needed.
         """
+        # resolve any frame left in flight by spin_once_pipelined FIRST so
+        # self.poses stays chronological when callers mix the two modes
+        # (the pipelined frame is always older than the next ready frame)
+        if self._pending is not None:
+            self.drain()
         m = self.buffer.get_measurements(self.cfg.camera.time_offset)
         if m is None:
             return None
@@ -112,7 +117,7 @@ class OnlineDriver:
             dev = self.pipeline.process_device(t_img, image, w, a, dt)
             if dev is not None:
                 dispatched = (t_img, dev)
-        prev = getattr(self, "_pending", None)
+        prev = self._pending
         self._pending = dispatched
         if prev is None:
             return None
@@ -123,7 +128,7 @@ class OnlineDriver:
 
     def drain(self) -> Optional[dict]:
         """Resolve and return the last in-flight pipelined frame, if any."""
-        prev = getattr(self, "_pending", None)
+        prev = self._pending
         self._pending = None
         if prev is None:
             return None

@@ -102,7 +102,11 @@ def main():
             walls.append(time.perf_counter() - t0)
         wall = min(walls)
         # steady-state in-scan: chunks 2..n amortize the dispatch floor
-        inscan_ms = (min(walls) - min(w1)) * 1e3 / (B * PB * (nchunk - 1))
+        # (needs >= 2 chunks for the delta; fall back to wall at 1)
+        if nchunk > 1:
+            inscan_ms = (min(walls) - min(w1)) * 1e3 / (B * PB * (nchunk - 1))
+        else:
+            inscan_ms = wall * 1e3 / (B * PB)
         print(json.dumps({
             "B": B, "frames": B * PB * nchunk,
             "agg_fps_wall": round(B * PB * nchunk / wall, 1),

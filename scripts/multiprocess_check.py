@@ -193,13 +193,16 @@ def parent() -> int:
     # oversubscribed host both configs share the same physical cores, so
     # the ratio measures the distributed runtime + gRPC overhead, not
     # DCN/ICI bandwidth.
-    sp = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--single"],
-        capture_output=True, text=True, cwd=REPO, timeout=900)
     single_result = None
-    for line in sp.stdout.splitlines():
-        if line.startswith("SINGLEPROC_RESULT "):
-            single_result = line[len("SINGLEPROC_RESULT "):]
+    if rc == 0 and result:
+        # only pay for the (up to 900 s) baseline when the multiprocess
+        # run it normalizes actually succeeded
+        sp = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single"],
+            capture_output=True, text=True, cwd=REPO, timeout=900)
+        for line in sp.stdout.splitlines():
+            if line.startswith("SINGLEPROC_RESULT "):
+                single_result = line[len("SINGLEPROC_RESULT "):]
 
     if rc == 0 and result:
         merged = json.loads(result)

@@ -62,3 +62,18 @@ class TestAdaptiveNoise:
         cfg = cfg_with(False)
         scale, _ = run_scale(cfg, 0.001, duration=10.0)
         assert scale == 1.0
+
+    def test_mass_rejection_recovery(self):
+        # config sigma 3x BELOW the actual noise: the chi2 gate initially
+        # rejects nearly everything (D ~ 9x its expectation), so no update
+        # fires — the upward walk must engage WITHOUT updates (adaptation
+        # gated solely on do_update would freeze the scale at 1 and the
+        # filter would dead-reckon forever), climb toward ~9, and re-admit
+        # features
+        actual = 0.003
+        cfg = cfg_with(True, sigma_px=actual / 3)
+        scale, out = run_scale(cfg, actual)
+        assert scale > 3.0, scale            # walked up from 1
+        n_good = np.asarray(out["n_good"])
+        q = len(n_good) // 4
+        assert n_good[-q:].mean() > 3.0, n_good[-q:].mean()  # re-engaged
