@@ -487,6 +487,10 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     M = state.max_clones
     D = state.err_dim
     n = state.n_clones
+    # static extrinsics tuples for the fused jacobian kernel (config
+    # constants, not traced values)
+    Rbc_t = tuple(tuple(float(v) for v in row) for row in np.asarray(R_bc))
+    tbc_t = tuple(float(v) for v in np.asarray(t_bc))
     R_bc = jnp.asarray(R_bc, dtype)
     t_bc = jnp.asarray(t_bc, dtype)
     chi2 = jnp.asarray(chi2_gate_thresholds(2 * L, np.float64), dtype)
@@ -566,9 +570,61 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
         pfk = lastR @ pf1 + lastT
         return r_p, Hx_p, dof, ok, pfk, rho
 
-    r_all, Hx_all, dof_all, ok_all, pfk_all, rho_all = jax.vmap(per_feature)(
-        batch.meas, tlen, batch.is_type2, c0, Rrel_a, trel_a, Rc_a, tc_a,
-        Rrel_j, trel_j, Rc_j, tc_j, phi_a, psi_a, rho_a, ok_lm)
+    if on_tpu_f32:
+        # Fused jacobian + nullspace projection (ops/jac_project.py):
+        # the vmapped XLA chain above is ~40 small fusions whose dispatch
+        # latency dominates the filter scan (stubbing it: 1855 -> 2563
+        # frames/s on v5e).  The kernel emits the projected system with
+        # Hx in CHAIN-RELATIVE columns; the per-feature shift to absolute
+        # clone columns (c0 + jj) is one exact one-hot batched matmul.
+        # Equivalence to per_feature is orthogonal (same pivot rows, fp
+        # sign of a reflector may differ near zero pivots): the masked
+        # rows span the identical complement of col(Hf), so the gate's
+        # D and the Gram/QR-compressed information agree to rounding
+        # (pinned in tests/test_ops.py::TestJacProjectKernel).
+        from rvio_tpu.ops.jac_project import jac_project_pallas
+        J = L - 1
+        t_eff_a = jnp.where(batch.is_type2, (tlen + 1) // 2, tlen)
+        r_p, Hxrel, hfn = jac_project_pallas(
+            batch.meas, Rc_j, tc_j, Rrel_j, trel_j, Rc_a, tc_a,
+            phi_a, psi_a, rho_a, t_eff_a,
+            Rbc_t=Rbc_t, tbc_t=tbc_t, L=L)
+        Ncols_a = jnp.where(hfn < 1e-4, 2, 3)
+        rows_i = jnp.arange(2 * L)
+        res_mask = ((rows_i[None, :] >= Ncols_a[:, None])
+                    & (rows_i[None, :] < 2 * t_eff_a[:, None]))
+        r_all = jnp.where(res_mask, r_p, 0.0)
+        # column shift: P = onehot(c0 + jj == m) (x) I6 — each output
+        # column receives exactly one input column, so HIGHEST-precision
+        # selection is exact in f32
+        oh = (c0[:, None, None] + jnp.arange(J)[None, :, None]
+              == jnp.arange(M)[None, None, :]).astype(dtype)   # (F, J, M)
+        Pm = (oh[:, :, None, :, None]
+              * jnp.eye(6, dtype=dtype)[None, None, :, None, :])
+        Pm = Pm.reshape(F, 6 * J, 6 * M)
+        Hx_all = jnp.einsum("frc,fcd->frd", Hxrel, Pm,
+                            precision=jax.lax.Precision.HIGHEST)
+        Hx_all = jnp.where(res_mask[:, :, None], Hx_all, 0.0)
+        dof_all = 2 * t_eff_a - Ncols_a
+        ok_all = ok_lm
+        rho_all = rho_a
+
+        def landmark(phi, psi, rho, Rrel, trel, tl):
+            # newest-window-frame landmark (Updater.cc:431-447)
+            rho_safe = jnp.maximum(rho, _EPS_DEPTH)
+            pfc = _unit_from_angles(phi, psi) / rho_safe
+            pf1 = R_bc @ pfc + t_bc
+            lastR = Rrel[jnp.clip(tl - 1, 0, L - 1)]
+            lastT = trel[jnp.clip(tl - 1, 0, L - 1)]
+            return lastR @ pf1 + lastT
+
+        pfk_all = jax.vmap(landmark)(phi_a, psi_a, rho_a, Rrel_a, trel_a,
+                                     tlen)
+    else:
+        (r_all, Hx_all, dof_all, ok_all, pfk_all,
+         rho_all) = jax.vmap(per_feature)(
+            batch.meas, tlen, batch.is_type2, c0, Rrel_a, trel_a, Rc_a,
+            tc_a, Rrel_j, trel_j, Rc_j, tc_j, phi_a, psi_a, rho_a, ok_lm)
 
     # ---- Mahalanobis gating (Updater.cc:404-454) ----
     Pcl = state.P[24:, 24:]

@@ -234,3 +234,118 @@ class TestShiTomasiKernel:
         ref = np.asarray(shi_tomasi_response(img, use_pallas=False))
         out = np.asarray(shi_tomasi_pallas(img, interpret=True))
         np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-2)
+
+
+class TestJacProjectKernel:
+    """ops/jac_project fused jacobian+projection vs the XLA per-feature
+    oracle.  The kernel pivots on the oracle's rows, but a reflector's
+    sign can flip on near-zero pivots, so rows are compared through the
+    orthogonally-INVARIANT quantities every consumer uses: the projected
+    Gram H^T H / H^T r / r^T r (gate distance, cholesky/qr compression
+    all derive from these)."""
+
+    def _setup(self, F=12, L=15, M=14, seed=0, c0_mode="zero"):
+        rng = np.random.default_rng(seed)
+        from scipy.spatial.transform import Rotation
+
+        Rrel = np.zeros((F, L, 3, 3))
+        trel = rng.normal(size=(F, L, 3)) * 0.3
+        for f in range(F):
+            Rrel[f] = Rotation.random(L, rng).as_matrix()
+            Rrel[f, 0] = np.eye(3)
+            trel[f, 0] = 0
+        R_bc = Rotation.random(1, rng).as_matrix()[0]
+        t_bc = rng.normal(size=3) * 0.05
+        R_cb, t_cb = R_bc.T, -R_bc.T @ t_bc
+        Rc = np.einsum("ab,flbc,cd->flad", R_cb, Rrel, R_bc)
+        tc = (np.einsum("ab,flbc,c->fla", R_cb, Rrel, t_bc)
+              + np.einsum("ab,flb->fla", R_cb, trel) + t_cb)
+        z = rng.normal(size=(F, L, 2)) * 0.2
+        phi = rng.normal(size=F) * 0.5
+        psi = rng.normal(size=F) * 0.5
+        rho = rng.uniform(0.2, 2.0, size=F)
+        t_eff = rng.integers(2, L + 1, size=F)
+        if c0_mode == "zero":
+            c0 = np.zeros(F, np.int32)
+        else:
+            c0 = rng.integers(0, M - 2, size=F).astype(np.int32)
+        return dict(z=z, Rrel=Rrel, trel=trel, Rc=Rc, tc=tc, R_bc=R_bc,
+                    t_bc=t_bc, phi=phi, psi=psi, rho=rho, t_eff=t_eff,
+                    c0=c0, F=F, L=L, M=M)
+
+    def _oracle(self, s):
+        from rvio_tpu.filter.update import (_build_jacobians,
+                                            _householder_project)
+        dt = jnp.float32
+        L, M = s["L"], s["M"]
+        r_o, hx_o, hfn_o = [], [], []
+        for f in range(s["F"]):
+            r, Hf, Hx = _build_jacobians(
+                jnp.asarray(s["z"][f], dt), jnp.asarray(s["phi"][f], dt),
+                jnp.asarray(s["psi"][f], dt), jnp.asarray(s["rho"][f], dt),
+                jnp.asarray(s["Rrel"][f], dt), jnp.asarray(s["trel"][f], dt),
+                jnp.asarray(s["Rc"][f], dt), jnp.asarray(s["tc"][f], dt),
+                jnp.int32(s["c0"][f]), jnp.int32(s["t_eff"][f]),
+                jnp.asarray(s["R_bc"], dt), jnp.asarray(s["t_bc"], dt), M,
+                jnp.asarray(s["Rc"][f], dt), jnp.asarray(s["tc"][f], dt))
+            _, Hx_p, r_p = _householder_project(Hf, Hx, r)
+            # integration masks (filter/update.msckf_update)
+            Ncols = 2 if float(jnp.linalg.norm(Hf[:, 2])) < 1e-4 else 3
+            rows = np.arange(2 * L)
+            m = (rows >= Ncols) & (rows < 2 * s["t_eff"][f])
+            r_o.append(np.where(m, np.asarray(r_p), 0.0))
+            hx_o.append(np.where(m[:, None], np.asarray(Hx_p), 0.0))
+            hfn_o.append(float(jnp.linalg.norm(Hf[:, 2])))
+        return np.stack(r_o), np.stack(hx_o), np.asarray(hfn_o)
+
+    def _kernel(self, s):
+        from rvio_tpu.ops.jac_project import jac_project_pallas
+        dt = jnp.float32
+        L, M, F = s["L"], s["M"], s["F"]
+        J = L - 1
+        r_k, hxrel, hfn = jac_project_pallas(
+            jnp.asarray(s["z"], dt), jnp.asarray(s["Rc"], dt),
+            jnp.asarray(s["tc"], dt), jnp.asarray(s["Rrel"], dt),
+            jnp.asarray(s["trel"], dt), jnp.asarray(s["Rc"], dt),
+            jnp.asarray(s["tc"], dt), jnp.asarray(s["phi"], dt),
+            jnp.asarray(s["psi"], dt), jnp.asarray(s["rho"], dt),
+            jnp.asarray(s["t_eff"], jnp.int32),
+            Rbc_t=tuple(tuple(float(v) for v in row) for row in s["R_bc"]),
+            tbc_t=tuple(float(v) for v in s["t_bc"]), L=L, interpret=True)
+        hfn = np.asarray(hfn)
+        Ncols = np.where(hfn < 1e-4, 2, 3)
+        rows = np.arange(2 * L)
+        m = ((rows[None, :] >= Ncols[:, None])
+             & (rows[None, :] < 2 * s["t_eff"][:, None]))
+        r_k = np.where(m, np.asarray(r_k), 0.0)
+        # column shift to absolute clone columns
+        oh = (s["c0"][:, None, None] + np.arange(J)[None, :, None]
+              == np.arange(M)[None, None, :]).astype(np.float32)
+        Pm = np.einsum("fjm,bc->fjbmc", oh, np.eye(6, dtype=np.float32))
+        Pm = Pm.reshape(F, 6 * J, 6 * M)
+        hx = np.einsum("frc,fcd->frd", np.asarray(hxrel), Pm)
+        hx = np.where(m[:, :, None], hx, 0.0)
+        return r_k, hx, hfn
+
+    def _check(self, s):
+        r_o, hx_o, hfn_o = self._oracle(s)
+        r_k, hx_k, hfn_k = self._kernel(s)
+        np.testing.assert_allclose(hfn_k, hfn_o, rtol=1e-4, atol=1e-4)
+
+        def invs(r, h):
+            return (np.einsum("frc,frd->fcd", h, h),
+                    np.einsum("frc,fr->fc", h, r),
+                    np.einsum("fr,fr->f", r, r))
+
+        for a, b in zip(invs(r_o, hx_o), invs(r_k, hx_k)):
+            sc = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(b / sc, a / sc, atol=1e-3)
+
+    def test_anchored_at_zero(self):
+        self._check(self._setup(c0_mode="zero"))
+
+    def test_shifted_anchors(self):
+        self._check(self._setup(seed=3, c0_mode="rand"))
+
+    def test_full_budget_shape(self):
+        self._check(self._setup(F=100, L=15, M=14, seed=5, c0_mode="rand"))
