@@ -81,19 +81,27 @@ class _Carry(NamedTuple):
 def propagate(state: FilterState, imu: ImuBlock, *,
               gravity: float, small_angle: float,
               sigma_g: float, sigma_wg: float, sigma_a: float,
-              sigma_wa: float, parallel: bool = True) -> FilterState:
+              sigma_wa: float, parallel: bool = True,
+              use_pallas: bool = False) -> FilterState:
     """Propagate the state/covariance through one frame's IMU block.
 
     Faithful to reference PreIntegrator::propagate (PreIntegrator.cc:51-194):
     gR and vR are frozen at frame entry; F uses the *pre-sample* running
     (Rk, vk, gk); the state integrals then advance them.
 
-    ``parallel=True`` (default) evaluates the block as batched per-sample
-    term construction + parallel-prefix scans (see
-    :func:`_propagate_parallel`) — same math, log-depth instead of a
-    K-step serial chain; ``parallel=False`` keeps the reference-shaped
-    sequential scan (the fp-order oracle).
+    ``use_pallas`` (TPU f32 only) runs the whole block as ONE fused
+    Pallas dispatch (ops/propagate_block.py) — the sequential fp-order
+    math with no per-op dispatch latency; otherwise ``parallel=True``
+    (default) evaluates batched per-sample terms + parallel-prefix scans
+    (see :func:`_propagate_parallel`) and ``parallel=False`` keeps the
+    reference-shaped sequential scan (the fp-order oracle).
     """
+    if (use_pallas and state.dtype == jnp.float32
+            and jax.default_backend() in ("tpu", "axon")):
+        return _propagate_pallas(
+            state, imu, gravity=gravity, small_angle=small_angle,
+            sigma_g=sigma_g, sigma_wg=sigma_wg, sigma_a=sigma_a,
+            sigma_wa=sigma_wa)
     if parallel:
         return _propagate_parallel(
             state, imu, gravity=gravity, small_angle=small_angle,
@@ -103,6 +111,43 @@ def propagate(state: FilterState, imu: ImuBlock, *,
         state, imu, gravity=gravity, small_angle=small_angle,
         sigma_g=sigma_g, sigma_wg=sigma_wg, sigma_a=sigma_a,
         sigma_wa=sigma_wa)
+
+
+def _propagate_pallas(state: FilterState, imu: ImuBlock, *,
+                      gravity: float, small_angle: float,
+                      sigma_g: float, sigma_wg: float, sigma_a: float,
+                      sigma_wa: float) -> FilterState:
+    """Fused single-dispatch propagation (see ops/propagate_block.py)."""
+    from rvio_tpu.ops.propagate_block import propagate_block_pallas
+    dtype = state.dtype
+    dte = jnp.where(imu.valid, imu.dt, 0.0).astype(dtype)
+    sig = ((float(sigma_g) ** 2,) * 3 + (float(sigma_wg) ** 2,) * 3
+           + (float(sigma_a) ** 2,) * 3 + (float(sigma_wa) ** 2,) * 3)
+    Rk, pk, vk, P24, Psi = propagate_block_pallas(
+        imu.w.astype(dtype), imu.a.astype(dtype), dte,
+        quat_to_rot(state.q_R), state.v_R, state.g, state.bg, state.ba,
+        state.P[:24, :24], gravity=float(gravity),
+        small_angle=float(small_angle), sig=sig)
+
+    has_valid = jnp.any(imu.valid)
+    qk = jnp.where(has_valid, rot_to_quat(Rk), state.q_R)
+    pk = jnp.where(has_valid, pk, state.p_R)
+    vk = jnp.where(has_valid, vk, state.v_R)
+
+    P = state.P
+    cross = Psi @ P[:24, 24:]
+    P = P.at[:24, :24].set(P24)
+    P = P.at[:24, 24:].set(cross)
+    P = P.at[24:, :24].set(cross.T)
+    P = 0.5 * (P + P.T)
+
+    return FilterState(
+        q_G=state.q_G, p_G=state.p_G, g=state.g,
+        q_R=qk, p_R=pk, v_R=vk,
+        bg=state.bg, ba=state.ba, clones=state.clones, P=P,
+        n_clones=state.n_clones, frame_idx=state.frame_idx,
+        clones_fej=state.clones_fej, sigma2_scale=state.sigma2_scale,
+    )
 
 
 def _propagate_sequential(state: FilterState, imu: ImuBlock, *,

@@ -45,7 +45,8 @@ def make_filter_step(cfg: RVIOConfig, donate: bool = True):
     imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
                   sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
                   sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa,
-                  parallel=cfg.tpu.parallel_propagation)
+                  parallel=cfg.tpu.parallel_propagation,
+                  use_pallas=cfg.tpu.use_pallas)
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
@@ -86,7 +87,8 @@ def make_sequence_scan(cfg: RVIOConfig):
     imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
                   sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
                   sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa,
-                  parallel=cfg.tpu.parallel_propagation)
+                  parallel=cfg.tpu.parallel_propagation,
+                  use_pallas=cfg.tpu.use_pallas)
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,
@@ -128,7 +130,7 @@ def make_batched_sequence_scan(cfg: RVIOConfig):
     imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
                   sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
                   sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa,
-                  parallel=False)
+                  parallel=False, use_pallas=cfg.tpu.use_pallas)
     upd_kw = dict(R_bc=cfg.camera.R_bc, t_bc=cfg.camera.t_bc,
                   sigma_im=cfg.camera.sigma_image,
                   min_clone_states=cfg.min_clone_states,

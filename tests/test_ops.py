@@ -349,3 +349,69 @@ class TestJacProjectKernel:
 
     def test_full_budget_shape(self):
         self._check(self._setup(F=100, L=15, M=14, seed=5, c0_mode="rand"))
+
+
+class TestPropagateBlockKernel:
+    """ops/propagate_block fused propagation == the sequential fp-order
+    oracle (_propagate_sequential) to f32 rounding."""
+
+    def test_matches_sequential_oracle(self):
+        from rvio_tpu.config import RVIOConfig
+        from rvio_tpu.core.quaternion import quat_to_rot
+        from rvio_tpu.filter.propagation import (ImuBlock,
+                                                 _propagate_sequential)
+        from rvio_tpu.ops.propagate_block import propagate_block_pallas
+        from rvio_tpu.state import make_initial_state, FilterState
+        from scipy.spatial.transform import Rotation
+
+        cfg = RVIOConfig()
+        rng = np.random.default_rng(0)
+        M, K = cfg.window_size, cfg.tpu.imu_block
+        dt32 = jnp.float32
+        st = make_initial_state(M, dt32)
+        A = rng.normal(size=(24 + 6 * M, 24 + 6 * M)) * 0.01
+        P = A @ A.T + np.eye(24 + 6 * M) * 1e-4
+        st = FilterState(**{
+            **st.__dict__,
+            "q_R": jnp.asarray(Rotation.random(1, rng).as_quat()[0], dt32),
+            "p_R": jnp.asarray(rng.normal(size=3), dt32),
+            "v_R": jnp.asarray(rng.normal(size=3), dt32),
+            "g": jnp.asarray([0.05, -0.02, 0.998], dt32),
+            "bg": jnp.asarray(rng.normal(size=3) * 0.01, dt32),
+            "ba": jnp.asarray(rng.normal(size=3) * 0.05, dt32),
+            "P": jnp.asarray(P, dt32)})
+        # includes a small-angle sample (row 3 near-zero rate) + padding
+        w = rng.normal(size=(K, 3)) * 0.4
+        w[3] = 1e-8
+        a = rng.normal(size=(K, 3)) * 2.0 + [0, 0, 9.8]
+        dts = np.full(K, 0.005)
+        valid = np.arange(K) < 11
+        imu = ImuBlock(w=jnp.asarray(w, dt32), a=jnp.asarray(a, dt32),
+                       dt=jnp.asarray(dts, dt32), valid=jnp.asarray(valid))
+        kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
+                  sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,
+                  sigma_a=cfg.imu.sigma_a, sigma_wa=cfg.imu.sigma_wa)
+        ref = _propagate_sequential(st, imu, **kw)
+
+        sig = ((cfg.imu.sigma_g ** 2,) * 3 + (cfg.imu.sigma_wg ** 2,) * 3
+               + (cfg.imu.sigma_a ** 2,) * 3 + (cfg.imu.sigma_wa ** 2,) * 3)
+        dte = jnp.where(imu.valid, imu.dt, 0.0)
+        Rk, pk, vk, P24, Psi = propagate_block_pallas(
+            imu.w, imu.a, dte, quat_to_rot(st.q_R), st.v_R, st.g, st.bg,
+            st.ba, st.P[:24, :24], gravity=cfg.imu.gravity,
+            small_angle=cfg.imu.small_angle, sig=sig, interpret=True)
+        np.testing.assert_allclose(np.asarray(Rk),
+                                   np.asarray(quat_to_rot(ref.q_R)),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pk), np.asarray(ref.p_R),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vk), np.asarray(ref.v_R),
+                                   atol=1e-6)
+        Pr = np.asarray(ref.P[:24, :24])
+        np.testing.assert_allclose(np.asarray(P24) / np.abs(Pr).max(),
+                                   Pr / np.abs(Pr).max(), atol=1e-6)
+        cr = np.asarray(ref.P[:24, 24:])
+        ck = np.asarray(Psi) @ np.asarray(st.P[:24, 24:])
+        np.testing.assert_allclose(ck / max(np.abs(cr).max(), 1e-12),
+                                   cr / max(np.abs(cr).max(), 1e-12),
+                                   atol=1e-6)
