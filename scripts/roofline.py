@@ -240,6 +240,68 @@ def bench_clahe(cfg):
     return t, flops, bytes_
 
 
+def bench_jac_project(cfg):
+    """Fused jacobian+projection kernel at the flagship update shape."""
+    from rvio_tpu.ops.jac_project import jac_project_pallas
+
+    rng = np.random.default_rng(6)
+    F = cfg.tracker.max_update_features
+    L = cfg.tracker.max_tracking_length
+    Rc = jnp.asarray(np.tile(np.eye(3), (F, L, 1, 1))
+                     + rng.normal(size=(F, L, 3, 3)) * 0.05, jnp.float32)
+    tc = jnp.asarray(rng.normal(size=(F, L, 3)) * 0.2, jnp.float32)
+    z = jnp.asarray(rng.normal(size=(F, L, 2)) * 0.2, jnp.float32)
+    phi = jnp.asarray(rng.normal(size=F) * 0.3, jnp.float32)
+    psi = jnp.asarray(rng.normal(size=F) * 0.3, jnp.float32)
+    rho = jnp.asarray(rng.uniform(0.3, 2.0, F), jnp.float32)
+    te = jnp.asarray(rng.integers(3, L + 1, F), jnp.int32)
+    Rbc_t = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+    tbc_t = (0.0, 0.0, 0.0)
+
+    def step(zz):
+        r_p, hx, hfn = jac_project_pallas(
+            zz, Rc, tc, Rc, tc, Rc, tc, phi, psi, rho, te,
+            Rbc_t=Rbc_t, tbc_t=tbc_t, L=L)
+        return z + (jnp.sum(r_p) + jnp.sum(hfn)) * 1e-20
+
+    t = _time_scanned(step, z)
+    # per feature: chains/Hf ~ 60L, block outer product 2*3*6(L-1)*2L,
+    # 3 reflections x ~4 passes over the (88, 2L) system
+    J = L - 1
+    flops = F * (60 * L + 2 * 3 * 6 * J * 2 * L + 3 * 4 * 2 * (6 * J + 4) * 2 * L)
+    bytes_ = F * (L * 38 + 2 * L * (6 * J + 4)) * 4
+    return t, flops, bytes_
+
+
+def bench_propagate_block(cfg):
+    """Fused whole-frame propagation kernel (K-sample IMU block)."""
+    from rvio_tpu.ops.propagate_block import propagate_block_pallas
+
+    rng = np.random.default_rng(7)
+    K = cfg.tpu.imu_block
+    w = jnp.asarray(rng.normal(size=(K, 3)) * 0.3, jnp.float32)
+    a = jnp.asarray(rng.normal(size=(K, 3)) + [0, 0, 9.8], jnp.float32)
+    dte = jnp.full((K,), 0.005, jnp.float32)
+    A = rng.normal(size=(24, 24)) * 0.01
+    P0 = jnp.asarray(A @ A.T + np.eye(24) * 1e-4, jnp.float32)
+    R0 = jnp.eye(3, dtype=jnp.float32)
+    v3 = jnp.asarray(rng.normal(size=3), jnp.float32)
+    g3 = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    sig = (1e-4,) * 12
+
+    def step(ww):
+        Rk, pk, vk, P24, Psi = propagate_block_pallas(
+            ww, a, dte, R0, v3, g3, v3 * 0, v3 * 0, P0,
+            gravity=9.8, small_angle=0.001, sig=sig)
+        return w + (jnp.sum(P24) + jnp.sum(pk)) * 1e-20
+
+    t = _time_scanned(step, w)
+    # per sample: ~4 24x24 matmuls + ~10 3x3 products + scalar bank
+    flops = K * (4 * 2 * 24 ** 3 + 20 * 2 * 27 + 200)
+    bytes_ = (2 * 24 * 24 + K * 7 + 60) * 4
+    return t, flops, bytes_
+
+
 def bench_tile_gather(cfg):
     """Tile-gather DMA kernel at the fused-KLT level-0 shape."""
     from rvio_tpu.ops.tile_gather import gather_tiles_narrow_pallas
@@ -276,6 +338,8 @@ def main():
                      ("LM triangulate (F=100, L=15)", bench_lm),
                      ("gate cholesky (F=100, m=30)", bench_gate),
                      ("clahe nibble VPU-side (480x752)", bench_clahe),
+                     ("jac+project fused (F=100, L=15)", bench_jac_project),
+                     ("propagate block (K=16)", bench_propagate_block),
                      ("tile gather (N=200 KLT tiles)", bench_tile_gather)):
         t, flops, bytes_ = fn(cfg)
         rows.append((name, t * 1e3, flops / t / 1e9, bytes_ / t / 1e9))
