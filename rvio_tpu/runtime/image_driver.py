@@ -145,7 +145,7 @@ class ImagePipeline:
         return out
 
 
-def make_image_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
+def make_image_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32, mesh=None):
     """Fused tracker+filter scan over a chunk of frames — ONE dispatch.
 
     The per-frame host loop pays a device-dispatch + synchronization cost
@@ -163,8 +163,12 @@ def make_image_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
       frames (e.g. <2 IMU samples, InputBuffer.cc:75-76 semantics) leave the
       carry untouched, like the reference skipping the frame,
     - outputs = per-frame {q_kG, p_Gk, v_k, n_good, ok} stacked over B.
+
+    ``mesh``: optional mesh with a ``feat`` axis — the tracker's KLT stage
+    then runs feat-sharded (see make_tracker); outputs are identical to the
+    unsharded scan (KLT feature lanes are independent).
     """
-    body = _chunk_body(cfg, dtype)
+    body = _chunk_body(cfg, dtype, mesh=mesh)
 
     @jax.jit
     def scan(carry, chunk):
@@ -173,9 +177,9 @@ def make_image_chunk_scan(cfg: RVIOConfig, dtype=jnp.float32):
     return scan
 
 
-def _chunk_body(cfg: RVIOConfig, dtype):
+def _chunk_body(cfg: RVIOConfig, dtype, mesh=None):
     """One frame of the fused tracker+filter scan (shared by both scans)."""
-    _, track_fn = make_tracker(cfg, dtype)
+    _, track_fn = make_tracker(cfg, dtype, mesh=mesh)
     step = make_filter_step(cfg, donate=False)
 
     def body(carry, frame):
