@@ -251,8 +251,15 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32, mesh=None):
                 & free[:, None] & admit[None, :])             # (N, C)
         fill_slot = jnp.any(pair, axis=1)
         pairm = pair.astype(dtype)
-        cand_zn = undistort_normalize(cand_pts, **cam).astype(dtype)
-        new_pts = jax.lax.dot(pairm, cand_pts.astype(dtype),
+        # Sanitize BEFORE the matmul: the combine touches ALL C candidates
+        # (0-weight included), so one non-finite candidate entry would
+        # poison every refilled slot via 0 * nan.  The detector emits
+        # finite in-bounds coords today, but that invariant is load-bearing
+        # here — make it local instead of relying on it.
+        cand_f = jnp.where(jnp.isfinite(cand_pts), cand_pts, 0.0)
+        cand_zn = undistort_normalize(cand_f, **cam).astype(dtype)
+        cand_zn = jnp.where(jnp.isfinite(cand_zn), cand_zn, 0.0)
+        new_pts = jax.lax.dot(pairm, cand_f.astype(dtype),
                               precision=jax.lax.Precision.HIGHEST)
         new_zn = jax.lax.dot(pairm, cand_zn,
                              precision=jax.lax.Precision.HIGHEST)

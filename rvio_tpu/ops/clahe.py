@@ -29,8 +29,10 @@ vs the previous full-one-hot kernels this cuts the VPU one-hot build from
 (measured 0.244 -> 0.100 ms at 752x480, TPU v5e — the previous kernel ran
 at 93% of VPU peak, i.e. at speed-of-light *for the 256-wide
 formulation*; the nibble factorization changes the op count, not the
-efficiency).  Numerics match the XLA path to < 0.5 gray level (both
-paths' LUT values round through bf16; summation orders differ).
+efficiency).  Numerics match the XLA path to ~0.5 gray level (measured
+max deviation 0.49 — both paths' LUT values round through bf16 and
+summation orders differ; the regression test gates at 0.75 to absorb
+run-to-run reduction-order variation, tests/test_ops.py).
 Requires tile height th % 8 == 0 and n_bins == 256; callers fall back to
 the XLA path otherwise.
 """

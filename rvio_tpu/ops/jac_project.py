@@ -52,7 +52,16 @@ def _jac_project_kernel(z_ref, rcl_ref, tcl_ref, rrl_ref, trl_ref,
     f32 = jnp.float32
     J = L - 1
     Fb = z_ref.shape[2]
-    eps = 1e-6                                   # _EPS_DEPTH
+    # Depth guard — DELIBERATELY wider than the XLA path's _EPS_DEPTH
+    # (1e-12, filter/update.py): the kernel is all-f32, and the Householder
+    # reflector norms square the perspective rows (entries up to h_x/h_z^2 =
+    # 1/eps^2), so eps=1e-12 would overflow f32 (1/eps^4 = 1e48 > f32 max)
+    # while 1e-6 caps the squared norms at ~1e24.  Features with |h_z| in
+    # (1e-12, 1e-6) therefore clamp differently from the oracle — a regime
+    # LM triangulation rejects (rho/angle bounds, Updater.cc:265-269) and
+    # the chi2 gate would discard; behavior pinned by
+    # tests/test_ops.py::TestJacProjectKernel::test_degenerate_depth_clamps.
+    eps = 1e-6
 
     phi = ang_ref[0]                             # (1, Fb)
     psi = ang_ref[1]

@@ -122,10 +122,12 @@ def make_batched_sequence_scan(cfg: RVIOConfig):
     the dispatch/latency cost that dominates a lone 108-dim filter.  This is
     the natural offline-replay shape (dataset sequences / long-run segments).
 
-    Propagation runs the sequential form here regardless of
-    ``tpu.parallel_propagation``: the vmap already amortizes per-op latency
-    across segments, so the parallel prefix's extra tree FLOPs only cost
-    (measured: 3.5k vs 3.0k frames/s at B=16).
+    Propagation: on TPU f32 with ``tpu.use_pallas`` the fused
+    propagate_block kernel runs (under vmap — ``use_pallas`` takes
+    precedence inside ``propagate``); otherwise the sequential form runs
+    regardless of ``tpu.parallel_propagation``, because the vmap already
+    amortizes per-op latency across segments and the parallel prefix's
+    extra tree FLOPs only cost (measured: 3.5k vs 3.0k frames/s at B=16).
     """
     imu_kw = dict(gravity=cfg.imu.gravity, small_angle=cfg.imu.small_angle,
                   sigma_g=cfg.imu.sigma_g, sigma_wg=cfg.imu.sigma_wg,

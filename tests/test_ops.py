@@ -350,6 +350,54 @@ class TestJacProjectKernel:
     def test_full_budget_shape(self):
         self._check(self._setup(F=100, L=15, M=14, seed=5, c0_mode="rand"))
 
+    def test_degenerate_depth_clamps(self, monkeypatch):
+        """|h_z| below the kernel's widened 1e-6 guard stays finite and
+        matches the oracle evaluated with the SAME guard.
+
+        The kernel deliberately clamps depth at 1e-6 (vs the XLA path's
+        _EPS_DEPTH=1e-12) because its all-f32 Householder norms square the
+        perspective rows — 1/eps^4 overflows f32 below eps~1e-10.  This
+        pins that widening: features whose chain depth lands in the
+        divergence regime (1e-12 < |h_z| < 1e-6) produce finite outputs
+        identical to an oracle whose guard is widened to 1e-6 (i.e. the
+        clamp, not the raw depth, defines the kernel's semantics there).
+        Such features cannot survive to the update in practice — LM
+        triangulation rejects them (Updater.cc:265-269) — so the regime is
+        guard-only; this test keeps it from silently rotting."""
+        import rvio_tpu.filter.update as upd
+
+        s = self._setup(F=8, L=15, M=14, seed=7, c0_mode="zero")
+        # Drive a degenerate chain depth: identity-ish rotation rows keep
+        # h ~ Rc epf + rho tc controllable — shift tc_z so h_z ~ 1e-9 for
+        # rows l >= 1 of features 0..3 (row 0 always anchors at the first
+        # measurement and keeps its healthy depth).
+        phi = np.zeros_like(s["phi"])
+        psi = np.zeros_like(s["psi"])
+        rho = np.ones_like(s["rho"])
+        Rc = np.broadcast_to(np.eye(3), s["Rc"].shape).copy()
+        tc = np.zeros_like(s["tc"])
+        tc[:4, 1:, 2] = -(1.0 - 1e-9)   # h_z = 1e-9: inside (1e-12, 1e-6)
+        s.update(phi=phi, psi=psi, rho=rho, Rc=Rc, tc=tc)
+
+        r_k, hx_k, hfn_k = self._kernel(s)
+        assert np.isfinite(r_k).all() and np.isfinite(hx_k).all() \
+            and np.isfinite(hfn_k).all()
+        # magnitudes bounded by the 1e-6 clamp (residual ~ h_x / 1e-6)
+        assert np.abs(r_k).max() < 1e8
+
+        monkeypatch.setattr(upd, "_EPS_DEPTH", 1e-6)
+        r_o, hx_o, hfn_o = self._oracle(s)
+        np.testing.assert_allclose(hfn_k, hfn_o, rtol=1e-4, atol=1e-4)
+
+        def invs(r, h):
+            return (np.einsum("frc,frd->fcd", h, h),
+                    np.einsum("frc,fr->fc", h, r),
+                    np.einsum("fr,fr->f", r, r))
+
+        for a, b in zip(invs(r_o, hx_o), invs(r_k, hx_k)):
+            sc = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(b / sc, a / sc, atol=1e-3)
+
 
 class TestPropagateBlockKernel:
     """ops/propagate_block fused propagation == the sequential fp-order
