@@ -528,17 +528,32 @@ def serialize_image(seq: int, t: float, img: np.ndarray,
 _CONN_TYPES = {
     b"sensor_msgs/Imu": b"6a62c6daae103f4ff57a132d6f95cec2",
     b"sensor_msgs/Image": b"060021388200f6f0f447d0fcd9c64743",
+    b"geometry_msgs/PointStamped": b"c63aecb41bfdfd6b7e1fac37c7cbe7bf",
+    b"geometry_msgs/TransformStamped": b"b5764a33bfeb3588febc2682852579b0",
 }
 
 
 def write_rosbag(path: str, messages: List[Tuple[str, bytes, float, bytes]],
-                 compression: str = "none", chunk_count: int = 1) -> None:
+                 compression: str = "none", chunk_count: int = 1,
+                 indexed: bool = False,
+                 chunk_bytes: Optional[int] = None) -> None:
     """Write a valid rosbag v2.0: ``messages`` = [(topic, type, t, bytes)].
 
-    Messages are chunked in ``chunk_count`` pieces with the requested chunk
-    compression; connection records are emitted both inside the first chunk
-    and at the tail (as rosbag record does), no index records (readers that
-    need them re-index; ours scans).
+    Messages are chunked in ``chunk_count`` pieces (or by ``chunk_bytes``
+    of uncompressed body, rosbag record's 768 KiB policy) with the
+    requested chunk compression.  Connection records are emitted both
+    inside the first chunk and at the tail, as rosbag record does.
+
+    ``indexed=True`` emits the FULL indexed container layout of a real
+    recorded bag (what the EuRoC distribution ships and the reference
+    replays, README.md:70-86): per-connection INDEX_DATA records (op 0x04,
+    ver 1, (time, chunk-local offset) pairs) after every chunk, and a tail
+    index section at bag-header ``index_pos`` holding the connection
+    records followed by one CHUNK_INFO record (op 0x06, ver 1, chunk_pos,
+    start/end time, per-connection counts) per chunk.  Our reader scans
+    and ignores the index; the conformance test
+    (tests/test_euroc_bag_conformance.py) validates this layout field by
+    field so real-bag structure stays covered without the dataset.
     """
     conns: Dict[str, int] = {}
     conn_recs = []
@@ -555,13 +570,36 @@ def write_rosbag(path: str, messages: List[Tuple[str, bytes, float, bytes]],
                  (b"conn", struct.pack("<I", cid)),
                  (b"topic", topic.encode())], chdr))
 
-    per = -(-len(messages) // max(chunk_count, 1))
-    chunks = []
-    for c in range(0, len(messages), per):
-        body = b"" if chunks else b"".join(conn_recs)
-        for topic, _mtype, t, data in messages[c:c + per]:
+    # split messages into chunk groups
+    if chunk_bytes is not None:
+        groups: List[List[Tuple[str, bytes, float, bytes]]] = [[]]
+        size = 0
+        for m in messages:
+            if size > chunk_bytes and groups[-1]:
+                groups.append([])
+                size = 0
+            groups[-1].append(m)
+            size += len(m[3]) + 64
+    else:
+        per = -(-len(messages) // max(chunk_count, 1))
+        groups = [messages[c:c + per] for c in range(0, len(messages), per)]
+
+    chunks = []          # serialized chunk records
+    chunk_index = []     # per chunk: serialized INDEX_DATA records
+    chunk_info = []      # per chunk: (start, end, {conn: count}) for the tail
+    for gi, group in enumerate(groups):
+        body = b"" if gi else b"".join(conn_recs)
+        index: Dict[int, List[Tuple[float, int]]] = {}
+        counts: Dict[int, int] = {}
+        t_lo, t_hi = None, None
+        for topic, _mtype, t, data in group:
+            cid = conns[topic]
+            index.setdefault(cid, []).append((t, len(body)))
+            counts[cid] = counts.get(cid, 0) + 1
+            t_lo = t if t_lo is None else min(t_lo, t)
+            t_hi = t if t_hi is None else max(t_hi, t)
             body += _record([(b"op", bytes([OP_MSG])),
-                             (b"conn", struct.pack("<I", conns[topic])),
+                             (b"conn", struct.pack("<I", cid)),
                              (b"time", _stamp(t))], data)
         if compression == "bz2":
             payload = bz2.compress(body)
@@ -574,19 +612,56 @@ def write_rosbag(path: str, messages: List[Tuple[str, bytes, float, bytes]],
             [(b"op", bytes([OP_CHUNK])),
              (b"compression", compression.encode()),
              (b"size", struct.pack("<I", len(body)))], payload))
+        idx_recs = b""
+        for cid in sorted(index):
+            rows = index[cid]
+            idx_recs += _record(
+                [(b"op", bytes([OP_INDEX])),
+                 (b"ver", struct.pack("<I", 1)),
+                 (b"conn", struct.pack("<I", cid)),
+                 (b"count", struct.pack("<I", len(rows)))],
+                b"".join(_stamp(t) + struct.pack("<I", off)
+                         for t, off in rows))
+        chunk_index.append(idx_recs)
+        chunk_info.append((t_lo or 0.0, t_hi or 0.0, counts))
 
     with open(path, "wb") as f:
         f.write(_MAGIC)
         # bag header record, padded to 4096 bytes with 0x20 as rosbag does
+        # (index_pos back-patched after the chunk section is laid out)
+        hdr_pos = f.tell()
         bh = [(b"op", bytes([OP_BAGHDR])),
               (b"index_pos", struct.pack("<Q", 0)),
               (b"conn_count", struct.pack("<I", len(conns))),
               (b"chunk_count", struct.pack("<I", len(chunks)))]
-        hdr = b"".join(_field(k, v) for k, v in bh)
-        pad = 4096 - 8 - len(hdr)
-        f.write(struct.pack("<I", len(hdr)) + hdr +
-                struct.pack("<I", pad) + b"\x20" * pad)
-        for ch in chunks:
+
+        def bag_header(index_pos: int) -> bytes:
+            bh[1] = (b"index_pos", struct.pack("<Q", index_pos))
+            hdr = b"".join(_field(k, v) for k, v in bh)
+            pad = 4096 - 8 - len(hdr)
+            return (struct.pack("<I", len(hdr)) + hdr +
+                    struct.pack("<I", pad) + b"\x20" * pad)
+
+        f.write(bag_header(0))
+        chunk_pos = []
+        for ch, idx in zip(chunks, chunk_index):
+            chunk_pos.append(f.tell())
             f.write(ch)
+            if indexed:
+                f.write(idx)
+        index_pos = f.tell()
         for r in conn_recs:
             f.write(r)
+        if indexed:
+            for pos, (t_lo, t_hi, counts) in zip(chunk_pos, chunk_info):
+                f.write(_record(
+                    [(b"op", bytes([OP_CHUNKINFO])),
+                     (b"ver", struct.pack("<I", 1)),
+                     (b"chunk_pos", struct.pack("<Q", pos)),
+                     (b"start_time", _stamp(t_lo)),
+                     (b"end_time", _stamp(t_hi)),
+                     (b"count", struct.pack("<I", len(counts)))],
+                    b"".join(struct.pack("<II", cid, n)
+                             for cid, n in sorted(counts.items()))))
+            f.seek(hdr_pos)
+            f.write(bag_header(index_pos))

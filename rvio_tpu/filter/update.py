@@ -468,7 +468,7 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     (over-stated) config sigma inflates the gain denominator, which the
     weakly-observable yaw/gyro-bias subspace integrates into a systematic
     drift equilibrium — measured 16x end-drift reduction on the clean
-    drive workload when sigma matches reality (scripts/drift_diagnose2).
+    drive workload when sigma matches reality (scripts/drift_diagnose, attitude mode).
 
     ``fej`` enables first-estimates-Jacobian mode (a consistency
     improvement over the reference, which rebuilds the chains from the
