@@ -206,6 +206,13 @@ class TpuConfig:
     # (parallel/handoff.py sets this to the warm-up length); nominal
     # static-init runs keep 0.
     adaptive_rampup_frames: int = 0
+    # Fused Pallas compression+EKF-core kernel (ops/ekf_tail.py).
+    # MEASURED NEGATIVE RESULT, kept as an option: in-kernel blocked
+    # Cholesky runs the tail in 45 us vs the XLA ops' 34.5 us in-context
+    # on v5e (XLA's 84x84 cholesky/solve lowerings are latency-lean), and
+    # under vmap the kernel serializes across the batch grid.  Off by
+    # default; full parity coverage in tests/test_ops.py.
+    ekf_tail_fused: bool = False
     donate_state: bool = True         # donate state buffers through the jitted step
 
 

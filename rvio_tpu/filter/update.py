@@ -451,7 +451,8 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
                  min_clone_states: int, compression: str = "qr",
                  use_pallas: bool = True, parallel_chains: bool = False,
                  fej: bool = False, adaptive_noise: bool = False,
-                 adaptive_alpha: float = 0.02, adaptive_rampup: int = 0):
+                 adaptive_alpha: float = 0.02, adaptive_rampup: int = 0,
+                 ekf_tail_fused: bool = False):
     """Full measurement update; returns (new_state, diagnostics).
 
     Equivalent to Updater::update (reference: Updater.cc:72-628) plus the
@@ -660,7 +661,27 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     Hw = jnp.where(passed[:, None, None], Hx_all, 0.0).reshape(F * 2 * L, 6 * M)
     ro = jnp.where(passed[:, None], r_all, 0.0).reshape(F * 2 * L)
 
-    if compression == "qr":
+    if on_tpu_f32 and compression == "cholesky" and ekf_tail_fused:
+        # Fused compression + EKF core (ops/ekf_tail.py): ONE Pallas
+        # dispatch with in-kernel blocked Cholesky factorizations,
+        # replacing ~25 small XLA ops.  MEASURED NEGATIVE RESULT
+        # (2026-08-21, v5e, sync-delta P-carry chain): the kernel runs the
+        # chain in 45 us vs the XLA ops' 34.5 us in-context — XLA:TPU's
+        # cholesky/triangular-solve lowerings are already latency-lean at
+        # 84x84, and the kernel's two in-kernel factorizations (the
+        # sequential 8-step panel sweeps) cost more than the per-op
+        # overhead they eliminate; under vmap (batched segment scans) the
+        # kernel SERIALIZES over the grid while vmapped XLA ops batch.
+        # Kept behind tpu.ekf_tail_fused (default off) with full parity
+        # tests: correct, available, not the default.  Matches the XLA
+        # path below to f32 rounding (tests/test_ops.py).
+        from rvio_tpu.ops.ekf_tail import ekf_tail_pallas
+        C = jax.lax.dot_general(Hw, Hw, (((0,), (0,)), ((), ())))
+        bb = ro @ Hw
+        dx, P_new = ekf_tail_pallas(C, bb, state.P, sig2_eff)
+        fused_tail = True
+    elif compression == "qr":
+        fused_tail = False
         # Thin QR of the stacked clone-block Jacobian; R's zero rows (rank
         # deficiency) contribute nothing to the EKF update, matching the
         # reference's explicit rank cut (Updater.cc:516-527).  On TPU the
@@ -680,6 +701,7 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
         # Information-form compression: C = Hw^T Hw = L L^T, Hn = L^T,
         # rn = L^{-1} Hw^T ro.  Exactly equivalent when C has full rank;
         # ridge-regularized on the (zero) invalid-clone diagonal.
+        fused_tail = False
         C = Hw.T @ Hw
         b = Hw.T @ ro
         ridge = 1e-8 * jnp.maximum(jnp.trace(C), 1.0)
@@ -690,17 +712,22 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     else:
         raise ValueError(f"unknown compression '{compression}'")
 
-    Hn = jnp.concatenate([jnp.zeros((Hn_cl.shape[0], 24), dtype), Hn_cl],
-                         axis=1)                       # (6M, D)
+    if not fused_tail:
+        Hn = jnp.concatenate([jnp.zeros((Hn_cl.shape[0], 24), dtype),
+                              Hn_cl], axis=1)          # (6M, D)
 
-    # ---- EKF update (Updater.cc:538-619) ----
-    P = state.P
-    PHt = P @ Hn.T                                     # (D, 6M)
-    S = Hn @ PHt + sig2_eff * jnp.eye(Hn.shape[0], dtype=dtype)
-    S = 0.5 * (S + S.T)
-    cf = jax.scipy.linalg.cho_factor(S, lower=True)
-    K = jax.scipy.linalg.cho_solve(cf, PHt.T).T        # (D, 6M)
-    dx = K @ rn
+        # ---- EKF update (Updater.cc:538-619) ----
+        P = state.P
+        PHt = P @ Hn.T                                 # (D, 6M)
+        S = Hn @ PHt + sig2_eff * jnp.eye(Hn.shape[0], dtype=dtype)
+        S = 0.5 * (S + S.T)
+        cf = jax.scipy.linalg.cho_factor(S, lower=True)
+        K = jax.scipy.linalg.cho_solve(cf, PHt.T).T    # (D, 6M)
+        dx = K @ rn
+
+        I_KH = jnp.eye(D, dtype=dtype) - K @ Hn
+        P_new = I_KH @ P @ I_KH.T + sig2_eff * (K @ K.T)
+        P_new = 0.5 * (P_new + P_new.T)
 
     # State retraction (Updater.cc:546-613).
     q_G = quat_mul(small_quat_from_dtheta(dx[0:3]), state.q_G)
@@ -717,10 +744,6 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     q_cl = jax.vmap(quat_mul)(dq_cl, state.clones[:, :4])
     p_cl = state.clones[:, 4:7] + dx_cl[:, 3:6]
     clones = jnp.concatenate([q_cl, p_cl], axis=1)
-
-    I_KH = jnp.eye(D, dtype=dtype) - K @ Hn
-    P_new = I_KH @ P @ I_KH.T + sig2_eff * (K @ K.T)
-    P_new = 0.5 * (P_new + P_new.T)
 
     # Gates: >2 good features (Updater.cc:460) AND enough clones
     # (System.cc:266).  Otherwise pass the propagated state through.

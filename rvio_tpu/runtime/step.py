@@ -55,7 +55,8 @@ def make_filter_step(cfg: RVIOConfig, donate: bool = True):
                   fej=cfg.tpu.fej,
                   adaptive_noise=cfg.tpu.adaptive_noise,
                   adaptive_rampup=cfg.tpu.adaptive_rampup_frames,
-                  parallel_chains=cfg.tpu.parallel_propagation)
+                  parallel_chains=cfg.tpu.parallel_propagation,
+                  ekf_tail_fused=cfg.tpu.ekf_tail_fused)
 
     def step(state: FilterState, bundle: FrameBundle
              ) -> Tuple[FilterState, dict]:
@@ -97,7 +98,8 @@ def make_sequence_scan(cfg: RVIOConfig):
                   fej=cfg.tpu.fej,
                   adaptive_noise=cfg.tpu.adaptive_noise,
                   adaptive_rampup=cfg.tpu.adaptive_rampup_frames,
-                  parallel_chains=cfg.tpu.parallel_propagation)
+                  parallel_chains=cfg.tpu.parallel_propagation,
+                  ekf_tail_fused=cfg.tpu.ekf_tail_fused)
 
     def body(state, bundle):
         st = propagate(state, bundle.imu, **imu_kw)

@@ -100,7 +100,8 @@ def main():
         def per_feature(z, tl, typ2, c0_f, Rrel, trel, Rc, tc, phi, psi, rho):
             t_eff = jnp.where(typ2, (tl + 1) // 2, tl)
             r, Hf, Hx = U._build_jacobians(z, phi, psi, rho, Rrel, trel,
-                                           Rc, tc, c0_f, t_eff, R_bc, t_bc, M)
+                                           Rc, tc, c0_f, t_eff, R_bc, t_bc,
+                                           M, Rc, tc)
             Ncols = jnp.where(jnp.linalg.norm(Hf[:, 2]) < 1e-4, 2, 3)
             _, Hx_p, r_p = U._householder_project(Hf, Hx, r)
             rows = jnp.arange(2 * L)

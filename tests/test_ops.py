@@ -463,3 +463,113 @@ class TestPropagateBlockKernel:
         np.testing.assert_allclose(ck / max(np.abs(cr).max(), 1e-12),
                                    cr / max(np.abs(cr).max(), 1e-12),
                                    atol=1e-6)
+
+
+class TestEkfTailKernel:
+    """ops/ekf_tail fused compression+EKF core vs the XLA cholesky path.
+
+    The kernel's blocked in-kernel Cholesky/solves reorder f32 reductions
+    vs jnp.linalg.cholesky, so outputs match to f32 rounding (relative
+    tolerance), not bitwise.
+    """
+
+    @staticmethod
+    def _oracle(C_raw, b, P, sig2, ridge_rel=1e-8):
+        """The exact XLA chain from filter/update.py (cholesky branch +
+        EKF core), lifted verbatim."""
+        dtype = jnp.float32
+        CM = C_raw.shape[0]
+        D = P.shape[0]
+        ridge = ridge_rel * jnp.maximum(jnp.trace(C_raw), 1.0)
+        C = C_raw + ridge * jnp.eye(CM, dtype=dtype)
+        Lc = jnp.linalg.cholesky(C)
+        rn = jax.scipy.linalg.solve_triangular(Lc, b, lower=True)
+        Hn = jnp.concatenate([jnp.zeros((CM, 24), dtype), Lc.T], axis=1)
+        PHt = P @ Hn.T
+        S = Hn @ PHt + sig2 * jnp.eye(CM, dtype=dtype)
+        S = 0.5 * (S + S.T)
+        cf = jax.scipy.linalg.cho_factor(S, lower=True)
+        K = jax.scipy.linalg.cho_solve(cf, PHt.T).T
+        dx = K @ rn
+        I_KH = jnp.eye(D, dtype=dtype) - K @ Hn
+        P_new = I_KH @ P @ I_KH.T + sig2 * (K @ K.T)
+        return dx, 0.5 * (P_new + P_new.T)
+
+    def _check(self, M=14, n_rows=600, dead_clones=2, masked_frac=0.5,
+               seed=0, sig2=2.3e-6, atol=2e-5):
+        from rvio_tpu.ops.ekf_tail import ekf_tail_pallas
+        rng = np.random.default_rng(seed)
+        CM, D = 6 * M, 24 + 6 * M
+        H = rng.normal(size=(n_rows, CM)).astype(np.float32) * 0.5
+        if dead_clones:
+            # invalid TRAILING clones (growth phase): dead H columns AND
+            # zero P rows/cols — the production invariant
+            # (state/filter_state.py) the ridge's conditioning relies on
+            H[:, CM - 6 * dead_clones:] = 0.0
+        H[int(n_rows * (1 - masked_frac)):] = 0.0   # gate-masked rows
+        r = (rng.normal(size=n_rows) * 0.01).astype(np.float32)
+        r[int(n_rows * (1 - masked_frac)):] = 0.0
+        C = jnp.asarray(H.T @ H)
+        b = jnp.asarray(H.T @ r)
+        A = rng.normal(size=(D, D)) * 0.02
+        P = np.asarray(A @ A.T + np.eye(D) * 1e-4, np.float32)
+        if dead_clones:
+            P[D - 6 * dead_clones:, :] = 0.0
+            P[:, D - 6 * dead_clones:] = 0.0
+        P = jnp.asarray(P)
+        sig2 = jnp.float32(sig2)
+
+        dx_o, P_o = self._oracle(C, b, P, sig2)
+        dx_k, P_k = ekf_tail_pallas(C, b, P, sig2, interpret=True)
+        sd = float(jnp.max(jnp.abs(dx_o)))
+        sp = float(jnp.max(jnp.abs(P_o)))
+        np.testing.assert_allclose(np.asarray(dx_k) / sd,
+                                   np.asarray(dx_o) / sd, atol=atol)
+        np.testing.assert_allclose(np.asarray(P_k) / sp,
+                                   np.asarray(P_o) / sp, atol=atol)
+
+    def test_flagship_shape(self):
+        self._check(M=14, n_rows=3000, seed=1)
+
+    def test_small_window(self):
+        self._check(M=7, n_rows=320, seed=2)
+
+    def test_few_rows_heavy_masking(self):
+        """Rank-deficient stack (rank ~19 of 48 live dims): only the
+        1e-8-relative ridge regularizes the null directions, so BOTH
+        factorizations return cond(~1e8)-limited results there — kernel
+        and oracle agree to ~cond * eps_f32 (a few percent), not to
+        rounding.  The live, well-determined directions still agree
+        tightly (covered by the other cases); this pins that the kernel
+        degrades the same way the oracle does instead of diverging."""
+        self._check(M=14, n_rows=200, masked_frac=0.9, dead_clones=6,
+                    seed=3, atol=5e-2)
+
+    def test_batched_vmap(self):
+        """vmap over a segment batch (the batched filter path)."""
+        from rvio_tpu.ops.ekf_tail import ekf_tail_pallas
+        rng = np.random.default_rng(5)
+        M, B = 7, 3
+        CM, D = 6 * M, 24 + 6 * M
+        Hs = rng.normal(size=(B, 100, CM)).astype(np.float32) * 0.3
+        rs = (rng.normal(size=(B, 100)) * 0.01).astype(np.float32)
+        Cs = jnp.asarray(np.einsum("bri,brj->bij", Hs, Hs))
+        bs = jnp.asarray(np.einsum("bri,br->bi", Hs, rs))
+        As = rng.normal(size=(B, D, D)) * 0.02
+        Ps = jnp.asarray(
+            (np.einsum("bij,bkj->bik", As, As)
+             + np.eye(D)[None] * 1e-4).astype(np.float32))
+        sig = jnp.full((B,), 2.3e-6, jnp.float32)
+
+        dx_b, P_b = jax.vmap(
+            lambda c, b2, p, s: ekf_tail_pallas(c, b2, p, s,
+                                                interpret=True)
+        )(Cs, bs, Ps, sig)
+        for i in range(B):
+            dx_o, P_o = self._oracle(Cs[i], bs[i], Ps[i], sig[i])
+            sd = float(jnp.max(jnp.abs(dx_o)))
+            np.testing.assert_allclose(np.asarray(dx_b[i]) / sd,
+                                       np.asarray(dx_o) / sd, atol=2e-5)
+            sp = float(jnp.max(jnp.abs(P_o)))
+            np.testing.assert_allclose(np.asarray(P_b[i]) / sp,
+                                       np.asarray(P_o) / sp, atol=2e-5)
