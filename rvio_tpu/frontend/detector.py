@@ -58,8 +58,35 @@ def shi_tomasi_response(img: jnp.ndarray, block: int = 3,
     return jnp.where(inner, resp, 0.0)
 
 
+def nms_masked_response(img: jnp.ndarray, use_pallas: bool = True
+                        ) -> jnp.ndarray:
+    """3x3-local-max-masked Shi-Tomasi response (-inf at non-maxima).
+
+    On TPU f32 the response AND the 8-neighbor >=-test run fused in one
+    Pallas kernel (ops/shi_tomasi.shi_tomasi_nms_pallas) — the separate
+    NMS pass was 8 full-map padded compares (~10 us/frame of latency +
+    traffic).  The XLA path below is the oracle; the two agree bitwise on
+    the interior grid_top_corners keeps (border >= 4).
+    """
+    if (use_pallas and img.dtype == jnp.float32
+            and jax.default_backend() in ("tpu", "axon")):
+        from rvio_tpu.ops.shi_tomasi import shi_tomasi_nms_pallas
+        return shi_tomasi_nms_pallas(img)
+    m = shi_tomasi_response(img, use_pallas=use_pallas)
+    H, W = m.shape
+    mpad = jnp.pad(m, 1, constant_values=-jnp.inf)
+    local_max = jnp.ones_like(m, bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            local_max &= m >= mpad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+    return jnp.where(local_max, m, -jnp.inf)
+
+
 def grid_top_corners(resp: jnp.ndarray, cell: int, max_corners: int,
-                     quality_level: float, border: int = 4
+                     quality_level: float, border: int = 4,
+                     pre_nms: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Spaced corner selection: per-cell argmax + stronger-neighbor NMS.
 
@@ -70,20 +97,29 @@ def grid_top_corners(resp: jnp.ndarray, cell: int, max_corners: int,
     minDistance loop but fully parallel.  Returns (pts (K,2) float32 xy,
     valid (K,)) with K = number of cells, sorted by response (strongest
     first) and truncated/padded to ``max_corners``.
+
+    ``pre_nms``: the input is already the 3x3-local-max-masked response
+    (:func:`nms_masked_response`, -inf at non-maxima) — the local-NMS pass
+    here is skipped.  The quality threshold is unaffected: the global max
+    is itself a local max, so max(masked) == max(raw).
     """
     H, W = resp.shape
-    # 3x3 local NMS first (goodFeaturesToTrack dilate step)
-    neigh = -jnp.ones_like(resp) * jnp.inf
-    m = resp
-    mpad = jnp.pad(m, 1, constant_values=-jnp.inf)
-    local_max = jnp.ones_like(m, bool)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            local_max &= m >= mpad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
-    thr = quality_level * jnp.max(m)
-    cand = jnp.where(local_max & (m > thr), m, -jnp.inf)
+    if pre_nms:
+        m = resp
+        thr = quality_level * jnp.max(m)
+        cand = jnp.where(m > thr, m, -jnp.inf)
+    else:
+        # 3x3 local NMS first (goodFeaturesToTrack dilate step)
+        m = resp
+        mpad = jnp.pad(m, 1, constant_values=-jnp.inf)
+        local_max = jnp.ones_like(m, bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                local_max &= m >= mpad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+        thr = quality_level * jnp.max(m)
+        cand = jnp.where(local_max & (m > thr), m, -jnp.inf)
     # suppress the image border
     row = jnp.arange(H)[:, None]
     col = jnp.arange(W)[None, :]
@@ -94,12 +130,21 @@ def grid_top_corners(resp: jnp.ndarray, cell: int, max_corners: int,
     gh = H // cell
     gw = W // cell
     crop = cand[:gh * cell, :gw * cell]
-    tiles = crop.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3)
-    tiles = tiles.reshape(gh * gw, cell * cell)
-    best = jnp.argmax(tiles, axis=1)
-    best_val = jnp.take_along_axis(tiles, best[:, None], axis=1)[:, 0]
-    by = best // cell + (jnp.arange(gh * gw) // gw) * cell
-    bx = best % cell + (jnp.arange(gh * gw) % gw) * cell
+    # Separable per-cell argmax (no (gh,cell,gw,cell) transpose — that
+    # relayout alone cost ~20 us/frame at VGA): reduce lanes within each
+    # cell column first, then sublanes within each cell row.  Tie-breaks
+    # match the flattened row-major argmax exactly (earliest row, then
+    # earliest column within the row).
+    c3 = crop.reshape(gh * cell, gw, cell)
+    colmax = jnp.max(c3, axis=2)                       # (H', gw)
+    argcol = jnp.argmax(c3, axis=2)                    # (H', gw)
+    r3 = colmax.reshape(gh, cell, gw)
+    best_val = jnp.max(r3, axis=1).reshape(-1)         # (gh*gw,)
+    argrow = jnp.argmax(r3, axis=1)                    # (gh, gw)
+    acr = jnp.take_along_axis(argcol.reshape(gh, cell, gw),
+                              argrow[:, None, :], axis=1)[:, 0, :]
+    by = (argrow + jnp.arange(gh)[:, None] * cell).reshape(-1)
+    bx = (acr + jnp.arange(gw)[None, :] * cell).reshape(-1)
     pts = jnp.stack([bx, by], axis=-1).astype(resp.dtype)
 
     # suppression by stronger peaks within `cell` px in neighboring tiles

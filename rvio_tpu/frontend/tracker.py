@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from rvio_tpu.config import RVIOConfig
 from rvio_tpu.filter.update import UpdateBatch
 from rvio_tpu.frontend.detector import (corner_subpix, find_newer,
-                                        grid_top_corners, shi_tomasi_response)
+                                        grid_top_corners,
+                                        nms_masked_response)
 from rvio_tpu.frontend.image import build_pyramid, clahe
 from rvio_tpu.frontend.klt import klt_track, klt_track_fused
 from rvio_tpu.frontend.ransac import gyro_ransac, integrate_gyro_rotation
@@ -98,12 +99,15 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32, mesh=None):
             img = clahe(img, 3.0, 5, use_pallas=cfg.tpu.use_pallas)
         return tuple(build_pyramid(img, levels))
 
-    def detect(img, spacing):
-        resp = shi_tomasi_response(img, use_pallas=cfg.tpu.use_pallas)
+    def detect(img, spacing, refine=True):
+        resp = nms_masked_response(img, use_pallas=cfg.tpu.use_pallas)
         pts, valid = grid_top_corners(resp, spacing, N,
-                                      cfg.tracker.quality_level)
-        pts = corner_subpix(img, pts, win=int(min_dist) // 2,
-                            use_pallas=cfg.tpu.use_pallas)
+                                      cfg.tracker.quality_level,
+                                      pre_nms=True)
+        if refine:
+            pts = corner_subpix(img, pts, win=int(min_dist) // 2,
+                                iters=cfg.tracker.subpix_iters,
+                                use_pallas=cfg.tpu.use_pallas)
         return pts, valid
 
     @jax.jit
@@ -229,7 +233,8 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32, mesh=None):
         pos = jnp.where(tracked[:, None], new_pos, 0.0)
 
         # --- refill (Tracker.cc:344-387) ---
-        cand_pts, cand_valid = detect(pyr[0], cell2)
+        cand_pts, cand_valid = detect(pyr[0], cell2,
+                                      refine=cfg.tracker.subpix_refill)
         admit = find_newer(cand_pts, cand_valid, pos, active,
                            img_w=cfg.camera.width, img_h=cfg.camera.height,
                            block_w=cfg.tracker.block_size_x,

@@ -103,3 +103,76 @@ def shi_tomasi_pallas(img: jnp.ndarray, interpret: bool = False
     resp = jnp.pad(resp, ((0, 0), (2, 2)))       # zero 2-px column border
     row = jnp.arange(H)[:, None]
     return jnp.where((row >= 2) & (row < H - 2), resp, 0.0)
+
+
+def _shi_nms_kernel(x_ref, out_ref):
+    """One (R, W) chunk of the 3x3-local-max-masked response.
+
+    Computes the response on an (R+2)-row band (one halo row each side)
+    and applies the 8-neighbor >=-comparison in-kernel, so the detector's
+    separate full-map NMS pass (8 padded full-image compares, ~10 us of
+    HBM traffic per frame) disappears.  Non-maxima emit -inf.
+    """
+    i = pl.program_id(0)
+    T = x_ref[pl.ds(i * _R, _R + 6), :]
+
+    c1 = jnp.asarray(1.0 / 8.0, T.dtype)
+    c2 = jnp.asarray(2.0 / 8.0, T.dtype)
+    sy = c1 * T[0:_R + 4] + c2 * T[1:_R + 5] + c1 * T[2:_R + 6]
+    ix = _scol(sy, 1) - _scol(sy, -1)
+    dy = T[2:_R + 6] - T[0:_R + 4]
+    iy = c1 * _scol(dy, 1) + c2 * dy + c1 * _scol(dy, -1)
+
+    def box(a):
+        r = a[0:_R + 2] + a[1:_R + 3] + a[2:_R + 4]
+        return _scol(r, 1) + r + _scol(r, -1)
+
+    sxx = box(ix * ix)
+    sxy = box(ix * iy)
+    syy = box(iy * iy)
+    tr = sxx + syy
+    det = sxx * syy - sxy * sxy
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
+    band = (tr - disc) * 0.5                     # (R+2, W) resp rows -1..R
+
+    m = band[1:_R + 1]
+    up = band[0:_R]
+    dn = band[2:_R + 2]
+    keep = ((m >= _scol(m, 1)) & (m >= _scol(m, -1))
+            & (m >= up) & (m >= _scol(up, 1)) & (m >= _scol(up, -1))
+            & (m >= dn) & (m >= _scol(dn, 1)) & (m >= _scol(dn, -1)))
+    out_ref[...] = jnp.where(keep, m, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def shi_tomasi_nms_pallas(img: jnp.ndarray, interpret: bool = False
+                          ) -> jnp.ndarray:
+    """NMS-masked min-eigenvalue response: response fused with the 3x3
+    local-maximum test; non-maxima and the 3-px border are -inf.
+
+    Interior parity contract: matches the XLA path (response + 8-neighbor
+    >= comparison on the border-zeroed map) bitwise on rows/cols
+    [4, H-4) x [4, W-4) — exactly the region grid_top_corners' border=4
+    suppression keeps (pixels nearer the border see the border-zeroing
+    difference and are masked by both paths).
+    """
+    H, W = img.shape
+    Hp = -(-H // _R) * _R
+    Wp = -(-(W + 4) // 128) * 128
+    x = jnp.pad(img, ((3, 3 + Hp - H), (2, 2)), mode="reflect")
+    x = jnp.pad(x, ((0, 0), (0, Wp - (W + 4))))
+
+    out = pl.pallas_call(
+        _shi_nms_kernel,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), img.dtype),
+        grid=(Hp // _R,),
+        in_specs=[pl.BlockSpec((Hp + 6, Wp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_R, Wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x)
+    resp = out[:H, 4:W]
+    resp = jnp.pad(resp, ((0, 0), (2, 2)), constant_values=-jnp.inf)
+    row = jnp.arange(H)[:, None]
+    return jnp.where((row >= 2) & (row < H - 2), resp, -jnp.inf)

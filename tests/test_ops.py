@@ -573,3 +573,48 @@ class TestEkfTailKernel:
             sp = float(jnp.max(jnp.abs(P_o)))
             np.testing.assert_allclose(np.asarray(P_b[i]) / sp,
                                        np.asarray(P_o) / sp, atol=2e-5)
+
+
+class TestShiTomasiNmsKernel:
+    def test_matches_nms_of_pallas_response_interior(self):
+        """Fused response+NMS kernel == the 8-neighbor >=-test applied to
+        the (non-fused) Pallas response, bitwise on the interior
+        grid_top_corners keeps (border >= 4).
+
+        The oracle uses the PALLAS response as its base: the Pallas and
+        XLA responses agree only to fp rounding (rtol 2e-4, see
+        TestShiTomasiKernel), so >=-comparisons on a random image flip on
+        near-ties between the bases — the NMS logic itself must be exact
+        relative to its own response numerics."""
+        from rvio_tpu.ops.shi_tomasi import (shi_tomasi_nms_pallas,
+                                             shi_tomasi_pallas)
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 255, (240, 320)).astype(np.float32))
+        m = np.asarray(shi_tomasi_pallas(img, interpret=True))
+        H, W = m.shape
+        mpad = np.pad(m, 1, constant_values=-np.inf)
+        local_max = np.ones_like(m, bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                local_max &= m >= mpad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+        ref = np.where(local_max, m, -np.inf)
+        got = np.asarray(shi_tomasi_nms_pallas(img, interpret=True))
+        np.testing.assert_array_equal(got[4:-4, 4:-4], ref[4:-4, 4:-4])
+
+    def test_grid_top_pre_nms_equals_inline_nms(self):
+        """grid_top_corners(pre_nms=True) on the masked map == the
+        original inline-NMS path on the raw response."""
+        from rvio_tpu.frontend.detector import (grid_top_corners,
+                                                nms_masked_response,
+                                                shi_tomasi_response)
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.uniform(0, 255, (240, 320)).astype(np.float32))
+        resp = shi_tomasi_response(img, use_pallas=False)
+        masked = nms_masked_response(img, use_pallas=False)
+        p0, v0 = grid_top_corners(resp, 24, 64, 0.01)
+        p1, v1 = grid_top_corners(masked, 24, 64, 0.01, pre_nms=True)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(p0)[np.asarray(v0)],
+                                      np.asarray(p1)[np.asarray(v1)])
