@@ -595,16 +595,17 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
         res_mask = ((rows_i[None, :] >= Ncols_a[:, None])
                     & (rows_i[None, :] < 2 * t_eff_a[:, None]))
         r_all = jnp.where(res_mask, r_p, 0.0)
-        # column shift: P = onehot(c0 + jj == m) (x) I6 — each output
-        # column receives exactly one input column, so HIGHEST-precision
-        # selection is exact in f32
+        # column shift: onehot(c0 + jj == m) applied at CLONE-BLOCK level
+        # — each output block receives exactly one input block, so
+        # HIGHEST-precision selection is exact in f32.  (The earlier
+        # (F, 6J, 6M) onehot-kron-I6 form materialized a 2.8 MB selection
+        # tensor and cost 6x the MACs for the same permutation.)
         oh = (c0[:, None, None] + jnp.arange(J)[None, :, None]
               == jnp.arange(M)[None, None, :]).astype(dtype)   # (F, J, M)
-        Pm = (oh[:, :, None, :, None]
-              * jnp.eye(6, dtype=dtype)[None, None, :, None, :])
-        Pm = Pm.reshape(F, 6 * J, 6 * M)
-        Hx_all = jnp.einsum("frc,fcd->frd", Hxrel, Pm,
-                            precision=jax.lax.Precision.HIGHEST)
+        Hr = Hxrel.reshape(F, 2 * L, J, 6)
+        Hx_all = jnp.einsum("frjc,fjm->frmc", Hr, oh,
+                            precision=jax.lax.Precision.HIGHEST
+                            ).reshape(F, 2 * L, 6 * M)
         Hx_all = jnp.where(res_mask[:, :, None], Hx_all, 0.0)
         dof_all = 2 * t_eff_a - Ncols_a
         ok_all = ok_lm

@@ -328,6 +328,58 @@ def bench_tile_gather(cfg):
     return t, 0.0, bytes_
 
 
+def bench_shi_tomasi_nms(cfg):
+    """Fused response+NMS kernel at the flagship image size."""
+    from rvio_tpu.ops.shi_tomasi import shi_tomasi_nms_pallas
+
+    rng = np.random.default_rng(8)
+    H, W = cfg.camera.height, cfg.camera.width
+    img0 = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+
+    def step(img):
+        out = shi_tomasi_nms_pallas(img)
+        dep = jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+        return img0 + dep * 1e-20
+
+    t = _time_scanned(step, img0)
+    Wp = -(-(W + 4) // 128) * 128
+    Hp = -(-H // 64) * 64
+    # per pixel: sobel (8 fma) + 3 products + 3 box sums (4 adds each) +
+    # eig formula (~8) + 8 NMS compares
+    flops = (8 + 3 + 12 + 8 + 8) * Hp * Wp
+    bytes_ = 2 * Hp * Wp * 4
+    return t, flops, bytes_
+
+
+def bench_ekf_tail(cfg):
+    """Fused compression+EKF-core kernel (kept as option; see BASELINE
+    round 5a — measured slower than the XLA chain it replaces)."""
+    from rvio_tpu.ops.ekf_tail import ekf_tail_pallas
+
+    rng = np.random.default_rng(9)
+    M = cfg.window_size
+    CM, D = 6 * M, 24 + 6 * M
+    Hs = rng.normal(size=(600, CM)).astype(np.float32) * 0.5
+    C = jnp.asarray(Hs.T @ Hs)
+    b = jnp.asarray(Hs.T @ (rng.normal(size=600).astype(np.float32) * 0.01))
+    A = rng.normal(size=(D, D)) * 0.02
+    P0 = jnp.asarray((A @ A.T + np.eye(D) * 1e-4).astype(np.float32))
+    sig2 = jnp.float32(2.3e-6)
+
+    def step(P):
+        dx, Pn = ekf_tail_pallas(C, b, P, sig2)
+        return 0.999 * Pn + 0.001 * P0
+
+    t = _time_scanned(step, P0)
+    NC = -(-CM // 8) * 8
+    DP = -(-D // 8) * 8
+    # 2 choleskys (NC^3/3) + 3 triangular passes (NC^2 * DP) + ~6 dense
+    # matmuls (DP^2 * NC or DP^3)
+    flops = 2 * (2 * NC ** 3 / 3) + 3 * 2 * NC * NC * DP + 6 * 2 * DP * DP * NC
+    bytes_ = (2 * NC * NC + 2 * DP * DP) * 4
+    return t, flops, bytes_
+
+
 def main():
     cfg = RVIOConfig()
     hbm, vpu, mxu = measure_peaks()
@@ -340,6 +392,8 @@ def main():
                      ("clahe nibble VPU-side (480x752)", bench_clahe),
                      ("jac+project fused (F=100, L=15)", bench_jac_project),
                      ("propagate block (K=16)", bench_propagate_block),
+                     ("shi-tomasi + NMS fused (480x752)", bench_shi_tomasi_nms),
+                     ("ekf tail fused (off by default)", bench_ekf_tail),
                      ("tile gather (N=200 KLT tiles)", bench_tile_gather)):
         t, flops, bytes_ = fn(cfg)
         rows.append((name, t * 1e3, flops / t / 1e9, bytes_ / t / 1e9))
