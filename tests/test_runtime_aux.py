@@ -76,3 +76,73 @@ class TestVisualize:
         plot_trajectory_svg(p, est, gt, lm)
         content = open(p).read()
         assert content.startswith("<svg") and "polyline" in content
+
+
+class TestPackedSequenceScan:
+    def test_scan_matches_per_frame_step(self):
+        """make_sequence_scan (packed per-frame I/O rows) == the jitted
+        per-frame step applied sequentially.
+
+        Pins the pack/unpack round trip: every bundle field must
+        reconstruct exactly (floats pass through in the filter dtype;
+        ints/bools are small integers, exact).  Tolerance is fp-tight,
+        not bitwise — the scan body and the standalone step are separate
+        XLA programs and may schedule f64 ops differently."""
+        import jax
+        import jax.numpy as jnp
+        from rvio_tpu.config import (CameraConfig, ImuConfig, RVIOConfig,
+                                     TpuConfig, TrackerConfig)
+        from rvio_tpu.dataio.synthetic import simulate_sequence
+        from rvio_tpu.filter.propagation import make_imu_block
+        from rvio_tpu.filter.update import UpdateBatch
+        from rvio_tpu.runtime.driver import (InitializationGate,
+                                             batches_from_sim, bundle_imu)
+        from rvio_tpu.runtime.step import (FrameBundle, make_filter_step,
+                                           make_sequence_scan)
+
+        cfg = RVIOConfig(
+            imu=ImuConfig(rate_hz=100.0), camera=CameraConfig(fps=10.0),
+            tracker=TrackerConfig(num_features=24, max_tracking_length=6,
+                                  min_tracking_length=3),
+            tpu=TpuConfig(imu_block=16))
+        dtype = jnp.float64
+        sim = simulate_sequence(cfg, duration=8.0, static_time=1.0,
+                                ramp_time=1.0, seed=6, n_landmarks=300,
+                                meas_noise=5e-4)
+        groups = bundle_imu(sim.imu_t, sim.imu_w, sim.imu_a, sim.frame_t)
+        batches = batches_from_sim(sim)
+        gate = InitializationGate(cfg, dtype)
+        state = None
+        bundles = []
+        for k, (w, a, dts) in enumerate(groups):
+            if len(w) < 2:
+                continue
+            if state is None:
+                state = gate.feed(np.asarray(w), np.asarray(a),
+                                  np.asarray(dts))
+                continue
+            b = batches[k]
+            bundles.append(FrameBundle(
+                imu=make_imu_block(w, a, dts, cfg.tpu.imu_block, dtype),
+                batch=UpdateBatch(meas=jnp.asarray(b.meas, dtype),
+                                  track_len=jnp.asarray(b.track_len,
+                                                        jnp.int32),
+                                  is_type2=jnp.asarray(b.is_type2, bool),
+                                  valid=jnp.asarray(b.valid, bool))))
+        assert state is not None and len(bundles) > 30
+
+        step = make_filter_step(cfg, donate=False)
+        st = state
+        ps, ngs = [], []
+        for bd in bundles:
+            st, out = step(st, bd)
+            ps.append(np.asarray(out["p_Gk"]))
+            ngs.append(int(out["n_good"]))
+        seq = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *bundles)
+        run = make_sequence_scan(cfg)
+        st2, outs = run(jax.tree.map(jnp.copy, state), seq)
+        np.testing.assert_allclose(np.asarray(outs["p_Gk"]),
+                                   np.stack(ps), rtol=0, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(outs["n_good"]),
+                                      np.asarray(ngs))
+        assert max(ngs) > 2  # updates actually fired
