@@ -509,12 +509,40 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
     c0 = jnp.where(batch.is_type2, 0, n - (tlen - 1))
     c0 = jnp.clip(c0, 0, M)
 
+    on_tpu_f32_chains = (use_pallas and dtype == jnp.float32
+                         and jax.default_backend() in ("tpu", "axon"))
+
     def make_chains(Rw_, tw_):
+        R_cb = R_bc.T
+        t_cb = -R_cb @ t_bc
+
+        if on_tpu_f32_chains:
+            # Batched one-hot window selection instead of F vmapped
+            # gathers: Rw is tiny ((M+1) 3x3s), so selecting each
+            # feature's L window entries is one (F*L, M+1) x (M+1, 12)
+            # MXU contraction — exact (HIGHEST one-hot: every output
+            # element is 1.0 * one source) and one op instead of the
+            # vmapped gather's per-feature dynamic-slice chains.
+            Mp1 = Rw_.shape[0]
+            idx = jnp.clip(c0[:, None] + jnp.arange(L)[None, :], 0, Mp1 - 1)
+            oh = (idx[..., None] == jnp.arange(Mp1)).astype(dtype)  # (F,L,Mp1)
+            flat = jnp.concatenate([Rw_.reshape(Mp1, 9), tw_], axis=1)
+            sel = jnp.einsum("flm,mk->flk", oh, flat,
+                             precision=jax.lax.Precision.HIGHEST)
+            R_m = sel[..., :9].reshape(F, L, 3, 3)
+            t_m = sel[..., 9:12]
+            R0 = R_m[:, 0]
+            t0 = t_m[:, 0]
+            Rrel = jnp.einsum("flab,fcb->flac", R_m, R0)
+            trel = t_m - jnp.einsum("flab,fb->fla", Rrel, t0)
+            Rc = jnp.einsum("ab,flbc,cd->flad", R_cb, Rrel, R_bc)
+            tc = (jnp.einsum("ab,flbc,c->fla", R_cb, Rrel, t_bc)
+                  + jnp.einsum("ab,flb->fla", R_cb, trel) + t_cb)
+            return Rrel, trel, Rc, tc
+
         def chains(c0_f):
             Rrel, trel = _feature_chain(Rw_, tw_, c0_f, L)
             # Camera-frame chain (Updater.cc:135-141).
-            R_cb = R_bc.T
-            t_cb = -R_cb @ t_bc
             Rc = jnp.einsum("ab,lbc,cd->lad", R_cb, Rrel, R_bc)
             tc = (jnp.einsum("ab,lbc,c->la", R_cb, Rrel, t_bc)
                   + jnp.einsum("ab,lb->la", R_cb, trel) + t_cb)
