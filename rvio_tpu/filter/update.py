@@ -639,17 +639,19 @@ def msckf_update(state: FilterState, batch: UpdateBatch, *,
         ok_all = ok_lm
         rho_all = rho_a
 
-        def landmark(phi, psi, rho, Rrel, trel, tl):
-            # newest-window-frame landmark (Updater.cc:431-447)
-            rho_safe = jnp.maximum(rho, _EPS_DEPTH)
-            pfc = _unit_from_angles(phi, psi) / rho_safe
-            pf1 = R_bc @ pfc + t_bc
-            lastR = Rrel[jnp.clip(tl - 1, 0, L - 1)]
-            lastT = trel[jnp.clip(tl - 1, 0, L - 1)]
-            return lastR @ pf1 + lastT
-
-        pfk_all = jax.vmap(landmark)(phi_a, psi_a, rho_a, Rrel_a, trel_a,
-                                     tlen)
+        # newest-window-frame landmark (Updater.cc:431-447); the last
+        # chain entry is selected with the same exact one-hot contraction
+        # as the chains (vmapped gathers serialize on TPU)
+        rho_safe = jnp.maximum(rho_a, _EPS_DEPTH)
+        pfc = _unit_from_angles(phi_a, psi_a) / rho_safe[:, None]
+        pf1 = pfc @ R_bc.T + t_bc
+        ohl = (jnp.clip(tlen - 1, 0, L - 1)[:, None]
+               == jnp.arange(L)).astype(dtype)              # (F, L)
+        lastR = jnp.einsum("fl,flab->fab", ohl, Rrel_a,
+                           precision=jax.lax.Precision.HIGHEST)
+        lastT = jnp.einsum("fl,fla->fa", ohl, trel_a,
+                           precision=jax.lax.Precision.HIGHEST)
+        pfk_all = jnp.einsum("fab,fb->fa", lastR, pf1) + lastT
     else:
         (r_all, Hx_all, dof_all, ok_all, pfk_all,
          rho_all) = jax.vmap(per_feature)(
