@@ -163,9 +163,12 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32, mesh=None):
         zn = undistort_normalize(new_pos, **cam).astype(dtype)
 
         # --- gyro-aided RANSAC (Tracker.cc:264) ---
+        # last history entry via an exact one-hot contraction (a
+        # take_along_axis gather serializes per row on TPU)
         prev_idx = jnp.clip(ts.length - 1, 0, L - 1)
-        prev_zn = jnp.take_along_axis(ts.hist, prev_idx[:, None, None],
-                                      axis=1)[:, 0, :]
+        ohp = (prev_idx[:, None] == jnp.arange(L)).astype(dtype)   # (N, L)
+        prev_zn = jnp.einsum("nl,nlc->nc", ohp, ts.hist,
+                             precision=jax.lax.Precision.HIGHEST)
         ones = jnp.ones((N, 1), dtype)
         p1h = jnp.concatenate([prev_zn, ones], axis=1)
         p2h = jnp.concatenate([zn, ones], axis=1)
@@ -214,11 +217,24 @@ def make_tracker(cfg: RVIOConfig, dtype=jnp.float32, mesh=None):
 
         # --- history update (Tracker.cc:305-342) ---
         # per-slot front-shift: type-2 in budget -> drop to keep_after_t2
-        # entries; type-2 over budget -> drop 1; others -> 0.
-        shift = jnp.where(at_max & in_budget, L - keep_after_t2,
+        # entries; type-2 over budget -> drop 1; others -> 0.  Only these
+        # THREE shift values exist, so the per-row gather is a 3-way
+        # select between statically shifted copies (clamp-at-end
+        # semantics match the clipped gather it replaces).
+        def shifted(s):
+            if s == 0:
+                return ts.hist
+            body = ts.hist[:, s:]
+            tail = jnp.repeat(ts.hist[:, -1:], s, axis=1)
+            return jnp.concatenate([body, tail], axis=1)
+
+        s2 = L - keep_after_t2
+        hist = jnp.where((at_max & in_budget)[:, None, None],
+                         shifted(s2) if s2 != 1 else shifted(1),
+                         jnp.where(at_max[:, None, None], shifted(1),
+                                   ts.hist))
+        shift = jnp.where(at_max & in_budget, s2,
                           jnp.where(at_max, 1, 0)).astype(jnp.int32)
-        gather_idx = jnp.clip(jnp.arange(L)[None, :] + shift[:, None], 0, L - 1)
-        hist = jnp.take_along_axis(ts.hist, gather_idx[:, :, None], axis=1)
         new_len = ts.length - shift
         # append the new measurement for tracked slots: a per-row dynamic
         # write, expressed as a compare-select over the (N, L) grid instead
