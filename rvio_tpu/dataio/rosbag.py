@@ -64,15 +64,30 @@ def _parse_header(buf: bytes) -> Dict[bytes, bytes]:
     return fields
 
 
-def _iter_records(buf: bytes, off: int = 0) -> Iterator[Tuple[Dict[bytes, bytes], bytes]]:
+def _iter_records(buf: bytes, off: int = 0,
+                  tolerate_truncation: bool = False
+                  ) -> Iterator[Tuple[Dict[bytes, bytes], bytes]]:
+    """Iterate length-prefixed records.
+
+    ``tolerate_truncation``: a record cut mid-write (recorder crash /
+    partial copy — rosbag's own reindex handles these) ends iteration
+    cleanly instead of raising; every complete record before the cut is
+    still yielded.
+    """
     n = len(buf)
     while off < n:
+        if tolerate_truncation and off + 4 > n:
+            return
         (hlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if tolerate_truncation and off + hlen + 4 > n:
+            return
         header = _parse_header(buf[off:off + hlen])
         off += hlen
         (dlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if tolerate_truncation and off + dlen > n:
+            return
         data = buf[off:off + dlen]
         off += dlen
         yield header, data
@@ -273,12 +288,19 @@ def _scan(path: str):
 
 def _scan_records(blob):
     connections: Dict[int, Dict[bytes, bytes]] = {}
-    for header, data in _iter_records(blob, len(_MAGIC)):
+    for header, data in _iter_records(blob, len(_MAGIC),
+                                      tolerate_truncation=True):
         op = header[b"op"][0]
         if op == OP_CONN:
             connections[_u32(header[b"conn"])] = _parse_header(data)
         elif op == OP_CHUNK:
-            for ch, cd in _iter_records(_decompress(header, data)):
+            try:
+                body = _decompress(header, data)
+            except (OSError, ValueError):
+                # a truncated final chunk: its compressed stream is cut —
+                # stop at the last complete chunk (rosbag reindex behavior)
+                return
+            for ch, cd in _iter_records(body):
                 cop = ch[b"op"][0]
                 if cop == OP_CONN:
                     connections[_u32(ch[b"conn"])] = _parse_header(cd)

@@ -316,3 +316,41 @@ class TestEvalCli:
         out = capsys.readouterr().out
         ate = float(out.split("ATE RMSE: ")[1].split(" ")[0])
         assert ate < 1e-3     # alignment removes the rigid transform
+
+
+class TestTruncatedBags:
+    """Recorder-crash recovery: a bag cut mid-write must load cleanly with
+    every message before the cut (rosbag's reindex semantics), not raise."""
+
+    @pytest.mark.parametrize("frac", [0.35, 0.6, 0.97])
+    def test_truncated_bag_loads_prefix(self, tmp_path, frac):
+        msgs, ws, accs, imgs = _make_messages(n_imu=400, n_img=40)
+        msgs.sort(key=lambda m: m[2])
+        p = str(tmp_path / "full.bag")
+        write_rosbag(p, msgs, chunk_count=8)
+        blob = open(p, "rb").read()
+        full = load_rosbag(p)
+        pt = str(tmp_path / "cut.bag")
+        with open(pt, "wb") as f:
+            f.write(blob[:int(len(blob) * frac)])
+        seq = load_rosbag(pt)
+        # a clean prefix: fewer (or equal) messages, all matching the full bag
+        assert 2 <= len(seq.imu_t) <= len(full.imu_t)
+        assert 1 <= len(seq.cam_t) <= len(full.cam_t)
+        n = len(seq.imu_t)
+        np.testing.assert_allclose(seq.imu_w, full.imu_w[:n])
+        np.testing.assert_array_equal(seq.images,
+                                      full.images[:len(seq.cam_t)])
+
+    def test_truncated_compressed_chunk(self, tmp_path):
+        msgs, *_ = _make_messages(n_imu=400, n_img=40)
+        msgs.sort(key=lambda m: m[2])
+        p = str(tmp_path / "full.bag")
+        write_rosbag(p, msgs, compression="bz2", chunk_count=8)
+        blob = open(p, "rb").read()
+        pt = str(tmp_path / "cut.bag")
+        # cut INSIDE the final chunk's compressed payload
+        with open(pt, "wb") as f:
+            f.write(blob[:int(len(blob) * 0.85)])
+        seq = load_rosbag(pt)
+        assert len(seq.imu_t) >= 2 and len(seq.cam_t) >= 1
