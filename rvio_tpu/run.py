@@ -59,6 +59,13 @@ def main(argv=None):
     ap.add_argument("--per-frame", action="store_true",
                     help="dataset replay: one dispatch per frame (live-"
                          "latency shape) instead of the chunked scan")
+    ap.add_argument("--save-checkpoint", default=None, metavar="NPZ",
+                    help="dataset replay: save the full session (filter + "
+                         "tracker + RNG + frame cursor) after the run")
+    ap.add_argument("--resume", default=None, metavar="NPZ",
+                    help="dataset replay: resume a prior run from its "
+                         "checkpoint (same sequence); continues the exact "
+                         "trajectory")
     args = ap.parse_args(argv)
 
     if args.info:
@@ -170,10 +177,15 @@ def main(argv=None):
             from rvio_tpu.dataio.euroc import load_euroc
             seq = load_euroc(args.euroc, skip_s=args.skip)
         if args.per_frame:
+            if args.save_checkpoint or args.resume:
+                ap.error("--save-checkpoint/--resume need the chunked scan "
+                         "(drop --per-frame)")
             res = run_euroc_sequence(cfg, seq, dtype=dtype, progress=True)
         else:
-            res = run_euroc_sequence_scan(cfg, seq, dtype=dtype,
-                                          progress=True, timing_split=True)
+            res = run_euroc_sequence_scan(
+                cfg, seq, dtype=dtype, progress=True, timing_split=True,
+                checkpoint_path=args.save_checkpoint,
+                resume_from=args.resume)
         if seq.gt_p is not None:
             from rvio_tpu.eval.ate import ate_rmse
             gi = np.searchsorted(seq.gt_t, res.timestamps)

@@ -323,7 +323,8 @@ def _imu_chunk_arrays(groups, ks, K: int, dtype):
 def _replay_chunks(cfg: RVIOConfig, dtype, chunk_size: int, seed: int,
                    groups, cam_t, frame_ids, tracker_state, filter_state,
                    get_images, timing_split: bool,
-                   progress: bool) -> DriverResult:
+                   progress: bool, checkpoint_path: Optional[str] = None,
+                   rng_key=None) -> DriverResult:
     """Chunked-scan replay core shared by the file and rendered drivers.
 
     With ``timing_split`` the tracker and filter run as two timed dispatches
@@ -331,9 +332,15 @@ def _replay_chunks(cfg: RVIOConfig, dtype, chunk_size: int, seed: int,
     per-frame front-end/back-end ms split the reference writes to
     time_cost.dat (System.cc:376-379); otherwise one fused dispatch with the
     whole chunk time attributed to the back-end column.
+
+    ``checkpoint_path``: save the complete session (filter + tracker + RNG
+    + frame cursor) after the last chunk — resuming from it continues the
+    exact trajectory (runtime/checkpoint.py; the reference cannot resume
+    at all, System.cc:83-88).  ``rng_key`` overrides the seed-derived key
+    (resume path).
     """
     K = cfg.tpu.imu_block
-    key = jax.random.key(seed)
+    key = rng_key if rng_key is not None else jax.random.key(seed)
     if timing_split:
         fe_scan = make_frontend_chunk_scan(cfg, dtype)
         be_scan = make_backend_chunk_scan(cfg, dtype)
@@ -380,6 +387,13 @@ def _replay_chunks(cfg: RVIOConfig, dtype, chunk_size: int, seed: int,
                              {k_: int(v_[i]) for k_, v_ in dg.items()}))
         if progress and (c0 // chunk_size) % 5 == 0:
             print(f"chunk {c0 // chunk_size}: frame {ks[-1]}/{n}")
+    if checkpoint_path and frame_ids:
+        from rvio_tpu.runtime.checkpoint import save_checkpoint
+        ts_f, fs_f, key_f = carry
+        last = frame_ids[-1]
+        save_checkpoint(checkpoint_path, fs_f, tracker_state=ts_f,
+                        rng_key=key_f, frame_cursor=last,
+                        timestamp=float(cam_t[last]))
     if not rows:
         raise RuntimeError("no frames processed")
     ts, ps, qs, vs, ng, fe, be, dgs = zip(*rows)
@@ -394,18 +408,37 @@ def run_euroc_sequence_scan(cfg: RVIOConfig, seq, dtype=jnp.float32,
                             chunk_size: int = 32, seed: int = 0,
                             progress: bool = False,
                             timing_split: bool = False,
-                            max_frames: Optional[int] = None) -> DriverResult:
+                            max_frames: Optional[int] = None,
+                            checkpoint_path: Optional[str] = None,
+                            resume_from: Optional[str] = None
+                            ) -> DriverResult:
     """Replay a sequence through the chunked on-device scan pipeline.
 
     Matches ``run_euroc_sequence`` semantics (same init gate, same per-frame
     math, same RNG chain) at chunk-amortized dispatch cost.
+
+    ``checkpoint_path`` saves the complete session after the run;
+    ``resume_from`` continues a prior run from its checkpoint (same
+    sequence!) — the resumed trajectory continues the checkpointed run's
+    exactly (filter + tracker + RNG restored; frames before the cursor
+    skipped).
     """
     from rvio_tpu.dataio.euroc import load_image
 
     groups = bundle_imu(seq.imu_t, seq.imu_w, seq.imu_a, seq.cam_t,
                         time_offset=cfg.camera.time_offset)
     n = len(seq.cam_t) if max_frames is None else min(max_frames, len(seq.cam_t))
-    filter_state, k0 = _find_init_frame(cfg, groups, n, dtype)
+    rng_key = None
+    if resume_from is not None:
+        from rvio_tpu.runtime.checkpoint import load_checkpoint
+        filter_state, tracker_state, rng_key, cursor, _ts = \
+            load_checkpoint(resume_from, dtype)
+        if tracker_state is None:
+            raise ValueError(f"{resume_from}: checkpoint has no tracker "
+                             "state (not an image-pipeline session)")
+        k0 = cursor
+    else:
+        filter_state, k0 = _find_init_frame(cfg, groups, n, dtype)
 
     mem = getattr(seq, "images", None)  # in-memory frames (rosbag loader)
     loader = None
@@ -416,9 +449,10 @@ def run_euroc_sequence_scan(cfg: RVIOConfig, seq, dtype=jnp.float32,
         except Exception:
             loader = None
 
-    init_fn, _ = make_tracker(cfg, dtype)
-    img0 = mem[k0] if mem is not None else load_image(seq.cam_files[k0])
-    tracker_state, _ = init_fn(jnp.asarray(img0, dtype))
+    if resume_from is None:
+        init_fn, _ = make_tracker(cfg, dtype)
+        img0 = mem[k0] if mem is not None else load_image(seq.cam_files[k0])
+        tracker_state, _ = init_fn(jnp.asarray(img0, dtype))
 
     def get_images(ks):
         if mem is not None:
@@ -435,7 +469,8 @@ def run_euroc_sequence_scan(cfg: RVIOConfig, seq, dtype=jnp.float32,
         return _replay_chunks(cfg, dtype, chunk_size, seed, groups, seq.cam_t,
                               list(range(k0 + 1, n)), tracker_state,
                               filter_state, get_images, timing_split,
-                              progress)
+                              progress, checkpoint_path=checkpoint_path,
+                              rng_key=rng_key)
     finally:
         if loader is not None:
             loader.close()

@@ -354,3 +354,37 @@ class TestTruncatedBags:
             f.write(blob[:int(len(blob) * 0.85)])
         seq = load_rosbag(pt)
         assert len(seq.imu_t) >= 2 and len(seq.cam_t) >= 1
+
+
+class TestCheckpointResume:
+    def test_resume_continues_exact_trajectory(self, tmp_path):
+        """run --save-checkpoint at the half-way point, then --resume: the
+        two halves concatenate to the uninterrupted run's exact trajectory
+        (filter + tracker + RNG restored; something the reference cannot
+        do at all, System.cc:83-88)."""
+        import jax.numpy as jnp
+        from rvio_tpu.dataio.synthetic import simulate_sequence
+        from rvio_tpu.runtime.image_driver import run_euroc_sequence_scan
+
+        cfg = _mini_cfg()
+        sim = simulate_sequence(cfg, duration=7.0, static_time=1.0,
+                                ramp_time=1.0, seed=5, n_landmarks=400,
+                                motion_scale=0.5)
+        p = str(tmp_path / "sim.bag")
+        _write_rendered_bag(p, cfg, sim)
+        seq = load_rosbag(p)
+
+        full = run_euroc_sequence_scan(cfg, seq, dtype=jnp.float64,
+                                       chunk_size=8)
+        n_half = len(seq.cam_t) // 2
+        ck = str(tmp_path / "session.npz")
+        first = run_euroc_sequence_scan(cfg, seq, dtype=jnp.float64,
+                                        chunk_size=8, max_frames=n_half,
+                                        checkpoint_path=ck)
+        second = run_euroc_sequence_scan(cfg, seq, dtype=jnp.float64,
+                                         chunk_size=8, resume_from=ck)
+        ts = np.concatenate([first.timestamps, second.timestamps])
+        ps = np.concatenate([first.positions, second.positions])
+        assert len(second.timestamps) > 5
+        np.testing.assert_array_equal(ts, full.timestamps)
+        np.testing.assert_allclose(ps, full.positions, rtol=0, atol=1e-12)
